@@ -1,0 +1,263 @@
+"""N-dimensional spatial ops on named tensors: interpolation, stencils, spectral ops.
+
+`_grid_sample_xla` is the gather-interpolation backbone of semi-Lagrangian
+advection (reference hot path: /root/reference/phi/field/_resample.py:259 →
+math.grid_sample). It lowers to 2^d corner gathers + fused multiply-adds, which
+XLA fuses into a single gather-heavy kernel on TPU; a Pallas variant lives in
+`phiflow_tpu.ops.interp` for large 3D grids.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ._shape import Shape, Dim, EMPTY_SHAPE, spatial, channel, batch, instance, dual, merge_shapes, concat_shapes, SPATIAL
+from ._tensor import Tensor, TensorStack, wrap, _align_native, default_float
+from ._extrapolation import Extrapolation, ConstantExtrapolation, PERIODIC, BOUNDARY, ZERO, as_extrapolation
+from . import _ops as ops
+
+
+def _linear_weights_and_indices(coords_n, sizes, periodic_dims):
+    """coords_n: (..., d) float index coords. Returns per-dim (lo_idx, frac)."""
+    lo = jnp.floor(coords_n)
+    frac = coords_n - lo
+    lo = lo.astype(jnp.int32)
+    return lo, frac
+
+
+def _grid_sample_xla(grid: Tensor, coordinates: Tensor, extrap: Optional[Extrapolation]) -> Tensor:
+    """Multi-linear interpolation. `coordinates` has channel dim 'vector' labeled
+    with the grid's spatial dim names (float index space: 0 = first cell center)."""
+    if isinstance(grid, TensorStack):
+        grid = grid._contiguous()
+    ch = coordinates.shape.channel
+    assert ch.rank == 1, f"coordinates must have one channel dim, got {coordinates.shape}"
+    dims = ch.labels[0] or grid.shape.spatial.names
+    d = len(dims)
+    sizes = [grid.shape.get_size(n) for n in dims]
+    periodic = [isinstance(extrap, type(PERIODIC)) or (hasattr(extrap, '_get') and _side_periodic(extrap, n)) for n in dims] \
+        if extrap is not None else [False] * d
+    # pad grid by 1 for non-periodic boundary handling
+    if extrap is not None and not all(periodic):
+        widths = {n: ((0, 0) if p else (1, 1)) for n, p in zip(dims, periodic)}
+        grid_p = extrap.pad(grid, widths)
+        offsets = [0 if p else 1 for p in periodic]
+    else:
+        grid_p = grid
+        offsets = [0] * d
+    if isinstance(grid_p, TensorStack):
+        grid_p = grid_p._contiguous()
+    p_sizes = [grid_p.shape.get_size(n) for n in dims]
+    kept = grid_p.shape.without(dims)  # batch/channel dims of grid
+    out_dims = coordinates.shape.without(ch.name)  # listing dims of the query
+    # natives
+    gt = grid_p._transposed(tuple(dims) + kept.names)
+    flat_grid = gt.native().reshape((int(np.prod(p_sizes)),) + tuple(kept.sizes))
+    coords_native = coordinates.native(out_dims.names + (ch.name,))  # (..., d)
+    # reorder coordinate channels to match dims order
+    labels = ch.labels[0]
+    if labels and tuple(labels) != tuple(dims):
+        perm = [labels.index(n) for n in dims]
+        coords_native = coords_native[..., perm]
+    lo, frac = _linear_weights_and_indices(coords_native, p_sizes, periodic)
+    result = None
+    for corner in itertools.product((0, 1), repeat=d):
+        idx = None
+        w = None
+        for k in range(d):
+            ik = lo[..., k] + corner[k] + offsets[k]
+            if periodic[k]:
+                ik = ik % p_sizes[k]
+            else:
+                ik = jnp.clip(ik, 0, p_sizes[k] - 1)
+            idx = ik if idx is None else idx * p_sizes[k] + ik
+            wk = frac[..., k] if corner[k] else 1.0 - frac[..., k]
+            w = wk if w is None else w * wk
+        vals = jnp.take(flat_grid, idx.reshape(-1), axis=0).reshape(idx.shape + tuple(kept.sizes))
+        w = w.reshape(w.shape + (1,) * kept.rank)
+        contrib = vals * w.astype(vals.dtype)
+        result = contrib if result is None else result + contrib
+    return Tensor(result, concat_shapes(out_dims, kept))
+
+
+def _side_periodic(extrap, dim) -> bool:
+    try:
+        lo = extrap._get(dim, False)
+        return lo == PERIODIC
+    except Exception:
+        return False
+
+
+def _closest_grid_values(grid: Tensor, coordinates: Tensor, extrap: Extrapolation, stack_dim_prefix='closest_') -> Tensor:
+    """The 2^d corner values around each coordinate, stacked in dims
+    `closest_<dim>` of size 2 (reference: MacCormack clamp, phi/physics/advect.py:211)."""
+    if isinstance(grid, TensorStack):
+        grid = grid._contiguous()
+    ch = coordinates.shape.channel
+    dims = ch.labels[0] or grid.shape.spatial.names
+    d = len(dims)
+    periodic = [extrap is not None and _is_periodic_like(extrap, n) for n in dims]
+    if extrap is not None and not all(periodic):
+        widths = {n: ((0, 0) if p else (1, 1)) for n, p in zip(dims, periodic)}
+        grid_p = extrap.pad(grid, widths)
+        offsets = [0 if p else 1 for p in periodic]
+    else:
+        grid_p = grid
+        offsets = [0] * d
+    if isinstance(grid_p, TensorStack):
+        grid_p = grid_p._contiguous()
+    p_sizes = [grid_p.shape.get_size(n) for n in dims]
+    kept = grid_p.shape.without(dims)
+    out_dims = coordinates.shape.without(ch.name)
+    gt = grid_p._transposed(tuple(dims) + kept.names)
+    flat_grid = gt.native().reshape((int(np.prod(p_sizes)),) + tuple(kept.sizes))
+    coords_native = coordinates.native(out_dims.names + (ch.name,))
+    labels = ch.labels[0]
+    if labels and tuple(labels) != tuple(dims):
+        perm = [labels.index(n) for n in dims]
+        coords_native = coords_native[..., perm]
+    lo = jnp.floor(coords_native).astype(jnp.int32)
+    corner_results = {}
+    for corner in itertools.product((0, 1), repeat=d):
+        idx = None
+        for k in range(d):
+            ik = lo[..., k] + corner[k] + offsets[k]
+            ik = ik % p_sizes[k] if periodic[k] else jnp.clip(ik, 0, p_sizes[k] - 1)
+            idx = ik if idx is None else idx * p_sizes[k] + ik
+        vals = jnp.take(flat_grid, idx.reshape(-1), axis=0).reshape(idx.shape + tuple(kept.sizes))
+        corner_results[corner] = Tensor(vals, concat_shapes(out_dims, kept))
+    # stack into closest_<dim> dims
+    def build(prefix_corner):
+        if len(prefix_corner) == d:
+            return corner_results[prefix_corner]
+        k = len(prefix_corner)
+        lo_t = build(prefix_corner + (0,))
+        up_t = build(prefix_corner + (1,))
+        return ops.stack([lo_t, up_t], channel(**{f"{stack_dim_prefix}{dims[k]}": 2}))
+    return build(())
+
+
+def _is_periodic_like(extrap, dim) -> bool:
+    if extrap == PERIODIC:
+        return True
+    return _side_periodic(extrap, dim)
+
+
+# ---------------------------------------------------------------------------
+# tensor-level stencil ops (API parity with phiml.math)
+# ---------------------------------------------------------------------------
+
+def spatial_gradient_t(grid: Tensor, dx=1, difference='central', padding=BOUNDARY,
+                       dims=None, stack_dim=channel('gradient')) -> Tensor:
+    """Finite-difference gradient of a tensor along spatial dims."""
+    from ._ops import shift, stack
+    dims = grid.shape.spatial.names if dims is None else dims
+    dx_t = wrap(dx)
+    if difference == 'central':
+        lo, up = shift(grid, (-1, 1), dims, padding, stack_dim=stack_dim)
+        return (up - lo) / (2 * dx_t)
+    elif difference == 'forward':
+        lo, up = shift(grid, (0, 1), dims, padding, stack_dim=stack_dim)
+        return (up - lo) / dx_t
+    elif difference == 'backward':
+        lo, up = shift(grid, (-1, 0), dims, padding, stack_dim=stack_dim)
+        return (up - lo) / dx_t
+    raise ValueError(difference)
+
+
+def laplace_t(x: Tensor, dx=1, padding=BOUNDARY, dims=None, weights=None) -> Tensor:
+    """Second-order finite-difference Laplacian over spatial dims."""
+    from ._ops import shift, sum_
+    dims = x.shape.spatial.names if dims is None else dims
+    dx_t = wrap(dx)
+    lo, ce, up = shift(x, (-1, 0, 1), dims, padding, stack_dim=channel('_lap'))
+    if weights is not None:
+        result = (lo + up - 2 * ce) * weights
+    else:
+        result = lo + up - 2 * ce
+    if 'vector' in dx_t.shape or dx_t.shape.channel:
+        dx2 = ops.rename_dims(dx_t * dx_t, dx_t.shape.channel, channel('_lap'))
+        result = result / dx2
+    else:
+        result = result / (dx_t * dx_t)
+    return sum_(result, '_lap')
+
+
+def fourier_laplace(grid: Tensor, dx, times=1) -> Tensor:
+    """Exact spectral Laplacian (periodic): ifft(fft(x)·(−(2πk)²)ⁿ).
+    Reference: phi/field/_field_math.py:730."""
+    k = ops.fftfreq(grid.shape.spatial, dx=dx)
+    k2 = ops.vec_squared(k)
+    fft_lap = (-4 * np.pi ** 2 * k2) ** times
+    result = ops.ifft(ops.fft(grid) * ops.cast(fft_lap, ops.fft(grid).dtype))
+    return ops.real(result)
+
+
+def fourier_poisson(grid: Tensor, dx, times=1) -> Tensor:
+    """Inverse Laplacian via FFT (periodic), zero-mean solution."""
+    k = ops.fftfreq(grid.shape.spatial, dx=dx)
+    k2 = ops.vec_squared(k)
+    fft_lap = (-4 * np.pi ** 2 * k2) ** times
+    inv = ops.safe_div(ops.ones_like(fft_lap), fft_lap)
+    gf = ops.fft(grid)
+    result = ops.ifft(gf * ops.cast(inv, gf.dtype))
+    return ops.real(result)
+
+
+def downsample2x(grid: Tensor, padding=BOUNDARY, dims=None) -> Tensor:
+    dims = grid.shape.spatial.names if dims is None else dims
+    for dim in dims:
+        size = grid.shape.get_size(dim)
+        if size % 2:
+            grid = padding.pad(grid, {dim: (0, 1)})
+            size += 1
+        lo = grid[{dim: slice(0, size, 2)}]
+        up = grid[{dim: slice(1, size, 2)}]
+        grid = (lo + up) * 0.5
+    return grid
+
+
+def upsample2x(grid: Tensor, padding=BOUNDARY, dims=None) -> Tensor:
+    """Linear 2x upsampling (each cell splits into 2 with 3/4-1/4 interpolation)."""
+    dims = grid.shape.spatial.names if dims is None else dims
+    for dim in dims:
+        padded = padding.pad(grid, {dim: (1, 1)})
+        size = grid.shape.get_size(dim)
+        left = padded[{dim: slice(0, size)}]
+        center = padded[{dim: slice(1, size + 1)}]
+        right = padded[{dim: slice(2, size + 2)}]
+        a = 0.25 * left + 0.75 * center
+        b = 0.75 * center + 0.25 * right
+        an, bn = a.native(), b.native()
+        axis = a.shape.index(dim)
+        stacked = jnp.stack([an, bn], axis=axis + 1)
+        new_sizes = list(a.shape.sizes)
+        new_sizes[axis] = size * 2
+        native = stacked.reshape(new_sizes)
+        grid = Tensor(native, a.shape.with_dim_size(dim, size * 2))
+    return grid
+
+
+def masked_fill(values: Tensor, valid: Tensor, distance=1) -> Tuple[Tensor, Tensor]:
+    """Propagate values into invalid cells by averaging valid neighbors, `distance` times.
+    Returns (filled_values, new_valid). Reference: phiml masked_fill used by
+    field.finite_fill (phi/field/_field_math.py:1076)."""
+    from ._ops import shift, where, sum_, maximum, to_float
+    valid_f = to_float(valid)
+    for _ in range(distance):
+        values_v = values * valid_f
+        neighbor_sum = ops.zeros_like(values_v)
+        neighbor_count = ops.zeros_like(valid_f)
+        for dim in values.shape.spatial.names:
+            lo, up = shift(values_v, (-1, 1), dim, ZERO, stack_dim=None)
+            vlo, vup = shift(valid_f, (-1, 1), dim, ZERO, stack_dim=None)
+            neighbor_sum += lo + up
+            neighbor_count += vlo + vup
+        avg = ops.safe_div(neighbor_sum, neighbor_count)
+        values = where(ops.cast(valid_f, jnp.bool_), values, avg)
+        valid_f = ops.cast(maximum(valid_f, ops.minimum(neighbor_count, 1.0)), valid_f.dtype)
+    return values, ops.cast(valid_f, jnp.bool_)

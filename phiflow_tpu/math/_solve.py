@@ -1,0 +1,512 @@
+"""Linear & nonlinear solves: Solve spec, matrix-free CG / BiCGStab on device,
+implicit differentiation, SolveTape.
+
+TPU-native rebuild of phiml's solve subsystem (SURVEY.md §2.1 "Solve subsystem";
+reference call sites: fluid.py:156 `math.solve_linear(masked_laplace, div, solve, ...)`,
+diffuse.py:90, tests/commit/test_fluid.py:56-73 for implicit gradients).
+
+Design:
+ * The linear operator stays **matrix-free**: the field-valued function is closed
+   over its auxiliary args and applied inside a `lax.while_loop` CG body. XLA
+   fuses each stencil matvec with the CG vector ops into a few kernels per
+   iteration — the TPU-friendly equivalent of the reference's explicit sparse
+   matrix + cusparse path.
+ * Gradients flow through solves via `jax.lax.custom_linear_solve`, which
+   implements the implicit-function theorem (adjoint solve) without
+   backpropagating through iterations.
+ * All state is batched: multiple independent systems (batch dims) are solved
+   in one while_loop with per-system convergence masking.
+"""
+from __future__ import annotations
+
+import functools
+import warnings
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ._shape import Shape, EMPTY_SHAPE, batch, channel, shape_of
+from ._tensor import Tensor, TensorStack, wrap
+from ._magic import ConvergenceException, Diverged, NotConverged
+from ._functional import LinearFunction
+from . import _ops as ops
+
+__all__ = ['Solve', 'SolveInfo', 'SolveTape', 'solve_linear', 'solve_nonlinear', 'minimize',
+           'ConvergenceException', 'Diverged', 'NotConverged']
+
+
+class Solve:
+    """Specifies a linear or nonlinear solve: method, tolerances, initial guess.
+
+    Mirrors the reference API (`Solve('CG', 1e-3, x0=p)` in Smoke_Plume;
+    `solve.with_preprocessing` + `rank_deficiency` in fluid.py:145-148).
+    """
+
+    def __init__(self, method: str = 'auto', rel_tol: float = None, abs_tol: float = None,
+                 x0=None, max_iterations: int = 1000, suppress: tuple = (),
+                 preprocessing=None, preprocessing_args: tuple = (), rank_deficiency: int = None,
+                 preconditioner=None, gradient_solve: 'Solve' = None):
+        self.method = method
+        self.rel_tol = rel_tol
+        self.abs_tol = abs_tol
+        self.x0 = x0
+        self.max_iterations = max_iterations
+        self.suppress = tuple(suppress)
+        self.preprocessing = preprocessing
+        self.preprocessing_args = preprocessing_args
+        self.rank_deficiency = rank_deficiency
+        self.preconditioner = preconditioner
+        self._gradient_solve = gradient_solve
+
+    @property
+    def gradient_solve(self) -> 'Solve':
+        return self._gradient_solve if self._gradient_solve is not None else self
+
+    def with_preprocessing(self, preprocessing: Callable, *args) -> 'Solve':
+        return copy_solve(self, preprocessing=preprocessing, preprocessing_args=args)
+
+    def with_defaults(self, mode: str) -> 'Solve':
+        rel = self.rel_tol if self.rel_tol is not None else (1e-5 if mode == 'solve' else 1e-3)
+        abs_ = self.abs_tol if self.abs_tol is not None else 1e-5
+        return copy_solve(self, rel_tol=rel, abs_tol=abs_)
+
+    def __repr__(self):
+        return f"Solve('{self.method}', rel_tol={self.rel_tol}, abs_tol={self.abs_tol}, max_iterations={self.max_iterations})"
+
+    def __attrs__(self):
+        return dict(method=self.method, rel_tol=self.rel_tol, abs_tol=self.abs_tol, x0=self.x0,
+                    max_iterations=self.max_iterations, suppress=self.suppress,
+                    preprocessing=self.preprocessing, preprocessing_args=self.preprocessing_args,
+                    rank_deficiency=self.rank_deficiency, preconditioner=self.preconditioner,
+                    gradient_solve=self._gradient_solve)
+
+
+def copy_solve(solve: Solve, **updates) -> Solve:
+    kw = solve.__attrs__()
+    kw['gradient_solve'] = kw.pop('gradient_solve', None)
+    kw.update(updates)
+    return Solve(**kw)
+
+
+# register Solve as pytree so it can be passed through jit (x0 traced, rest static)
+def _solve_flatten(s: Solve):
+    return (s.x0, s.preprocessing_args), (s.method, s.rel_tol, s.abs_tol, s.max_iterations,
+                                          s.suppress, s.preprocessing, s.rank_deficiency,
+                                          s.preconditioner, s._gradient_solve)
+
+
+def _solve_unflatten(aux, children):
+    x0, pre_args = children
+    method, rel_tol, abs_tol, max_iter, suppress, preprocessing, rank_def, precond, grad_solve = aux
+    return Solve(method, rel_tol, abs_tol, x0, max_iter, suppress, preprocessing, pre_args, rank_def, precond, grad_solve)
+
+
+jax.tree_util.register_pytree_node(Solve, _solve_flatten, _solve_unflatten)
+
+
+class SolveInfo:
+    """Result diagnostics of a solve."""
+
+    def __init__(self, solve: Solve, x, residual, iterations, function_evaluations, converged, diverged, method, msg=""):
+        self.solve = solve
+        self.x = x
+        self.residual = residual
+        self.iterations = iterations
+        self.function_evaluations = function_evaluations
+        self.converged = converged
+        self.diverged = diverged
+        self.method = method
+        self.msg = msg
+
+    def __repr__(self):
+        return f"SolveInfo({self.method}: iterations={self.iterations}, converged={self.converged}, diverged={self.diverged})"
+
+
+_SOLVE_TAPES: list = []
+
+
+class SolveTape:
+    """Records diagnostics of solves within its context (phiml API parity)."""
+
+    def __init__(self, *solves: Solve, record_trajectories=False):
+        self.solves = solves
+        self.record_trajectories = record_trajectories
+        self.solve_infos: list = []
+
+    def __enter__(self):
+        _SOLVE_TAPES.append(self)
+        return self
+
+    def __exit__(self, *args):
+        _SOLVE_TAPES.remove(self)
+
+    def __getitem__(self, item) -> SolveInfo:
+        if isinstance(item, Solve):
+            for info in self.solve_infos:
+                if info.solve is item:
+                    return info
+            raise KeyError(item)
+        return self.solve_infos[item]
+
+    def __iter__(self):
+        return iter(self.solve_infos)
+
+    def __len__(self):
+        return len(self.solve_infos)
+
+
+def _record(info: SolveInfo):
+    for tape in _SOLVE_TAPES:
+        tape.solve_infos.append(info)
+
+
+# ---------------------------------------------------------------------------
+# flattening helpers: Field / Tensor / pytree ⇄ (batched) native vector
+# ---------------------------------------------------------------------------
+
+class _VecFormat:
+    """Packs an arbitrary pytree state (Field, Tensor, tuple) into a (B, N) native array."""
+
+    def __init__(self, template):
+        self.template = template
+        leaves, self.treedef = jax.tree_util.tree_flatten(template)
+        self.leaf_shapes = [tuple(np.shape(l)) for l in leaves]
+        self.leaf_sizes = [int(np.prod(s)) if s else 1 for s in self.leaf_shapes]
+        self.leaf_dtypes = [np.asarray(l).dtype if not isinstance(l, jax.Array) else l.dtype for l in leaves]
+        # batch dims: shared named batch dims of Tensors in the template
+        bshape = EMPTY_SHAPE
+        for l in jax.tree_util.tree_leaves(template, is_leaf=lambda x: isinstance(x, Tensor)):
+            pass
+        self.batch_shape = _batch_shape_of(template)
+
+    def flatten(self, state) -> jnp.ndarray:
+        """→ (batch_volume, N) array."""
+        b = self.batch_shape
+        parts = []
+        for t in _tensor_leaves(state):
+            order = b.names + t.shape.without(b.names).names
+            n = t.native(order)
+            n = jnp.broadcast_to(n, tuple(b.sizes) + n.shape[len(b.names):])
+            parts.append(n.reshape((max(b.volume, 1) if b else 1, -1)))
+        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+
+    def unflatten(self, vec: jnp.ndarray):
+        b = self.batch_shape
+        tensors = _tensor_leaves(self.template)
+        out = []
+        offset = 0
+        for t in tensors:
+            rest = t.shape.without(b.names)
+            size = rest.volume if rest else 1
+            chunk = vec[:, offset:offset + size]
+            offset += size
+            native = chunk.reshape(tuple(b.sizes) + tuple(rest.sizes))
+            from ._shape import concat_shapes
+            out.append(Tensor(native, concat_shapes(b, rest)))
+        return _rebuild_from_tensors(self.template, out)
+
+
+def _batch_shape_of(state) -> Shape:
+    from ._shape import merge_shapes
+    shapes = [t.shape.batch for t in _tensor_leaves(state)]
+    return merge_shapes(*shapes) if shapes else EMPTY_SHAPE
+
+
+def _tensor_leaves(state):
+    result = []
+
+    def visit(x):
+        if isinstance(x, TensorStack):
+            result.extend(x.components)
+        elif isinstance(x, Tensor):
+            result.append(x)
+        elif hasattr(x, 'values') and hasattr(x, 'geometry'):
+            visit(x.values)
+        elif isinstance(x, (tuple, list)):
+            for i in x:
+                visit(i)
+        elif isinstance(x, dict):
+            for i in x.values():
+                visit(i)
+        elif x is None:
+            pass
+        else:
+            result.append(wrap(x))
+    visit(state)
+    return result
+
+
+def _rebuild_from_tensors(template, tensors: list):
+    tensors = list(tensors)
+
+    def rebuild(x):
+        if isinstance(x, TensorStack):
+            comps = [tensors.pop(0) for _ in x.components]
+            return TensorStack(comps, x.stack_dim)
+        if isinstance(x, Tensor):
+            return tensors.pop(0)
+        if hasattr(x, 'values') and hasattr(x, 'geometry'):
+            return x.with_values(rebuild(x.values))
+        if isinstance(x, tuple):
+            return tuple(rebuild(i) for i in x)
+        if isinstance(x, list):
+            return [rebuild(i) for i in x]
+        if isinstance(x, dict):
+            return {k: rebuild(v) for k, v in x.items()}
+        if x is None:
+            return None
+        return tensors.pop(0)
+    return rebuild(template)
+
+
+# ---------------------------------------------------------------------------
+# Krylov solvers on (B, N) arrays — lax.while_loop bodies, fully on device
+# ---------------------------------------------------------------------------
+
+def _cg(A, b, x0, rtol, atol, max_iter, M=None):
+    """Batched conjugate gradients. A: (B,N)→(B,N) linear; returns (x, res_norm, iters, converged)."""
+    dtype = b.dtype
+    eps = jnp.asarray(1e-30, dtype)
+
+    def dot(u, v):
+        return jnp.sum(u * v, axis=-1, keepdims=True)
+
+    b_norm = jnp.sqrt(dot(b, b))
+    tol_sq = jnp.maximum(jnp.asarray(atol, dtype), jnp.asarray(rtol, dtype) * b_norm) ** 2
+    x = x0
+    r = b - A(x)
+    z = M(r) if M is not None else r
+    p = z
+    rz = dot(r, z)
+
+    def cond(state):
+        x, r, z, p, rz, it = state
+        return jnp.logical_and(it < max_iter, jnp.any(dot(r, r) > tol_sq))
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        Ap = A(p)
+        alpha = rz / jnp.maximum(dot(p, Ap), eps)
+        # freeze converged systems: alpha→0 where already converged
+        active = (dot(r, r) > tol_sq).astype(dtype)
+        alpha = alpha * active
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z_new = M(r) if M is not None else r
+        rz_new = dot(r, z_new)
+        beta = rz_new / jnp.maximum(rz, eps)
+        p = z_new + beta * p
+        return x, r, z_new, p, rz_new, it + 1
+
+    x, r, z, p, rz, it = jax.lax.while_loop(cond, body, (x, r, z, p, rz, jnp.asarray(0, jnp.int32)))
+    res = jnp.sqrt(dot(r, r))
+    converged = jnp.all(res ** 2 <= tol_sq)
+    return x, res, it, converged
+
+
+def _bicgstab(A, b, x0, rtol, atol, max_iter, M=None):
+    """Batched BiCGStab (covers the reference's 'biCG-stab(2)' use cases)."""
+    dtype = b.dtype
+    eps = jnp.asarray(1e-30, dtype)
+
+    def dot(u, v):
+        return jnp.sum(u * v, axis=-1, keepdims=True)
+
+    b_norm = jnp.sqrt(dot(b, b))
+    tol_sq = jnp.maximum(jnp.asarray(atol, dtype), jnp.asarray(rtol, dtype) * b_norm) ** 2
+    x = x0
+    r = b - A(x)
+    r_hat = r
+    rho = alpha = omega = jnp.ones_like(dot(r, r))
+    v = p = jnp.zeros_like(r)
+
+    def cond(state):
+        x, r, r_hat, rho, alpha, omega, v, p, it = state
+        return jnp.logical_and(it < max_iter, jnp.any(dot(r, r) > tol_sq))
+
+    def body(state):
+        x, r, r_hat, rho, alpha, omega, v, p, it = state
+        rho_new = dot(r_hat, r)
+        beta = (rho_new / jnp.maximum(rho, eps)) * (alpha / jnp.maximum(omega, eps))
+        p = r + beta * (p - omega * v)
+        ph = M(p) if M is not None else p
+        v = A(ph)
+        alpha = rho_new / jnp.maximum(dot(r_hat, v), eps)
+        s = r - alpha * v
+        sh = M(s) if M is not None else s
+        t = A(sh)
+        omega = dot(t, s) / jnp.maximum(dot(t, t), eps)
+        active = (dot(r, r) > tol_sq).astype(dtype)
+        x = x + active * (alpha * ph + omega * sh)
+        r = s - omega * t
+        return x, r, r_hat, rho_new, alpha, omega, v, p, it + 1
+
+    state = (x, r, r_hat, rho, alpha, omega, v, p, jnp.asarray(0, jnp.int32))
+    x, r, *_, it = jax.lax.while_loop(cond, body, state)
+    res = jnp.sqrt(dot(r, r))
+    converged = jnp.all(res ** 2 <= tol_sq)
+    return x, res, it, converged
+
+
+def _direct(A, b, x0, rank_deficiency=0):
+    """Dense direct solve: materialize A by applying it to basis vectors (small N only)."""
+    n = b.shape[-1]
+    eye = jnp.eye(n, dtype=b.dtype)
+    cols = jax.vmap(lambda e: A(jnp.broadcast_to(e, b.shape)), out_axes=-1)(eye)  # (B, N, N)
+    mat = cols
+    if rank_deficiency:
+        # regularize the nullspace (constant vector) for singular Neumann systems
+        ones_v = jnp.ones((n,), b.dtype) / n
+        mat = mat + ones_v[None, :, None] * ones_v[None, None, :]
+    x = jnp.linalg.solve(mat, b[..., None])[..., 0]
+    return x, jnp.zeros_like(b[..., :1]), jnp.asarray(n, jnp.int32), jnp.asarray(True)
+
+
+# ---------------------------------------------------------------------------
+# solve_linear
+# ---------------------------------------------------------------------------
+
+def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict = None, **f_kwargs_additional):
+    """Solve ``f(x, *f_args) = y`` for x.
+
+    `f` may be a `LinearFunction` (from `jit_compile_linear`), a plain linear
+    callable, or an explicit matrix Tensor. Mirrors phiml `math.solve_linear`
+    (reference: fluid.py:156, diffuse.py:90). Supports affine `f` (constant
+    boundary offsets are subtracted automatically), preprocessing, rank-deficient
+    (Neumann/periodic) systems, and implicit differentiation.
+    """
+    f_kwargs = dict(f_kwargs or {})
+    f_kwargs.update(f_kwargs_additional)
+    solve = solve.with_defaults('solve')
+    x0 = solve.x0 if solve.x0 is not None else (y * 0)
+    if isinstance(f, LinearFunction):
+        op = lambda x: f.f(x, *f_args, **f_kwargs)
+    elif callable(f):
+        op = lambda x: f(x, *f_args, **f_kwargs)
+    else:
+        raise NotImplementedError(f"matrix solve_linear with {type(f)}; pass a callable")
+    # --- preprocessing of the right-hand side (e.g. _balance_divergence) ---
+    if solve.preprocessing is not None:
+        y = solve.preprocessing(y, *solve.preprocessing_args)
+    fmt = _VecFormat(x0)
+    y_fmt = _VecFormat(y)
+    y_vec = y_fmt.flatten(y)
+    x0_vec = fmt.flatten(x0)
+    # --- affine offset: b0 = op(0) (constant boundary contributions) ---
+    zero_state = _rebuild_from_tensors(x0, [ops.zeros_like(t) for t in _tensor_leaves(x0)])
+    b0 = op(zero_state)
+    b0_vec = y_fmt.flatten(b0)
+    rhs = y_vec - b0_vec
+
+    def A(x_vec):
+        x_state = fmt.unflatten(x_vec)
+        fx = op(x_state)
+        return y_fmt.flatten(fx) - b0_vec
+
+    rank_def = solve.rank_deficiency or 0
+    if rank_def:
+        # project rhs onto range(A): remove mean (nullspace = constants for Poisson-Neumann)
+        rhs = rhs - jnp.mean(rhs, axis=-1, keepdims=True)
+
+    method = solve.method
+    if method in ('auto', 'CG', 'CG-adaptive', 'CG-native'):
+        krylov = _cg
+    elif method in ('biCG', 'biCG-stab', 'biCG-stab(1)', 'biCG-stab(2)'):
+        krylov = _bicgstab
+    elif method in ('direct', 'scipy-direct'):
+        krylov = None
+    else:
+        warnings.warn(f"unknown solve method {method!r}; falling back to CG")
+        krylov = _cg
+
+    it_box = {}
+
+    def run_solve(matvec, b):
+        if krylov is None:
+            x, res, it, conv = _direct(matvec, b, x0_vec, rank_deficiency=rank_def)
+        else:
+            x, res, it, conv = krylov(matvec, b, x0_vec, solve.rel_tol, solve.abs_tol, solve.max_iterations)
+        if rank_def:
+            x = x - jnp.mean(x, axis=-1, keepdims=True)
+        it_box['iterations'] = it
+        it_box['residual'] = res
+        it_box['converged'] = conv
+        return x
+
+    # custom_linear_solve gives us implicit differentiation (adjoint solve on the
+    # transpose system) without differentiating through the iteration loop.
+    sym = krylov is _cg or krylov is None  # CG/direct used only for symmetric systems here
+    try:
+        x_vec = jax.lax.custom_linear_solve(A, rhs, lambda mv, b: run_solve(mv, b),
+                                            transpose_solve=lambda mv, b: run_solve(mv, b),
+                                            symmetric=sym)
+    except TypeError:
+        x_vec = jax.lax.custom_linear_solve(A, rhs, lambda mv, b: run_solve(mv, b),
+                                            transpose_solve=lambda mv, b: run_solve(mv, b))
+    x = fmt.unflatten(x_vec)
+    # --- diagnostics & convergence checks (outside jit only) ---
+    iterations = it_box.get('iterations')
+    residual = it_box.get('residual')
+    converged = it_box.get('converged')
+    msg = ""
+    conv_known = converged is not None and not isinstance(converged, jax.core.Tracer)
+    if conv_known:
+        conv_val = bool(np.all(np.asarray(converged)))
+        max_res = float(np.max(np.asarray(residual))) if residual is not None else float('nan')
+        div_val = not np.all(np.isfinite(np.asarray(residual))) if residual is not None else False
+        info = SolveInfo(solve, x, residual, int(np.asarray(iterations)) if iterations is not None else -1,
+                         int(np.asarray(iterations)) if iterations is not None else -1,
+                         conv_val, div_val, solve.method,
+                         msg=f"residual={max_res:.2e} after {np.asarray(iterations)} iterations")
+        _record(info)
+        if div_val and Diverged not in solve.suppress and ConvergenceException not in solve.suppress:
+            raise Diverged(info)
+        if not conv_val and NotConverged not in solve.suppress and ConvergenceException not in solve.suppress:
+            raise NotConverged(info)
+    else:
+        _record(SolveInfo(solve, x, residual, -1, -1, True, False, solve.method, msg="traced"))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# nonlinear solves / minimize
+# ---------------------------------------------------------------------------
+
+def minimize(f: Callable, solve: Solve):
+    """Minimize a scalar function of the Solve's x0 (reference: examples/optim)."""
+    solve = solve.with_defaults('optimization')
+    x0 = solve.x0
+    fmt = _VecFormat(x0)
+    x0_vec = fmt.flatten(x0)
+    shape_bn = x0_vec.shape
+
+    def loss_flat(xf):
+        state = fmt.unflatten(xf.reshape(shape_bn))
+        loss = f(state)
+        lt = loss.values if hasattr(loss, 'values') else loss
+        lt = wrap(lt)
+        return jnp.sum(lt.native())
+
+    from jax.scipy.optimize import minimize as jsp_minimize
+    result = jsp_minimize(loss_flat, x0_vec.reshape(-1), method='BFGS',
+                          options={'maxiter': solve.max_iterations})
+    x = fmt.unflatten(result.x.reshape(shape_bn))
+    success = bool(result.success) if not isinstance(result.success, jax.core.Tracer) else True
+    info = SolveInfo(solve, x, result.fun, int(result.nit) if not isinstance(result.nit, jax.core.Tracer) else -1,
+                     -1, success, False, 'BFGS')
+    _record(info)
+    if not success and NotConverged not in solve.suppress and ConvergenceException not in solve.suppress:
+        warnings.warn(f"minimize did not converge: {result.status}")
+    return x
+
+
+def solve_nonlinear(f: Callable, y, solve: Solve):
+    """Newton-free nonlinear solve via minimizing ||f(x) − y||²."""
+    def loss(x):
+        diff = f(x) - y
+        leaves = _tensor_leaves(diff)
+        return sum([ops.sum_(t ** 2) for t in leaves])
+    return minimize(loss, solve)
