@@ -200,6 +200,9 @@ class Tensor:
                         assert d.labels, f"dim {d.name} has no labels"
                         s = d.labels.index(s.strip())
                 if isinstance(s, (tuple, list)):
+                    if s and all(isinstance(n, str) for n in s):
+                        assert d.labels, f"dim {d.name} has no labels"
+                        s = [d.labels.index(n) for n in s]
                     s = np.asarray(s)
                 if isinstance(s, Shape):
                     assert d.labels
@@ -483,6 +486,8 @@ def _shape_after_getitem(shape: Shape, sel: dict) -> Shape:
             dims.append(Dim(d.name, n, d.dim_type, labels))
         elif isinstance(s, (tuple, list, np.ndarray)):
             s = list(s)
+            if s and all(isinstance(n, str) for n in s):
+                s = [d.labels.index(n) for n in s]
             labels = tuple(d.labels[i] for i in s) if d.labels else None
             dims.append(Dim(d.name, len(s), d.dim_type, labels))
         elif isinstance(s, Shape):
