@@ -775,3 +775,42 @@ def domain_slice(ext: Extrapolation, item: dict, domain_dims) -> Extrapolation:
         result = _MixedExtrapolation(kept) if kept else BOUNDARY
         return result[item] if isinstance(item, dict) else result
     return ext[item] if isinstance(item, dict) else ext
+
+
+# --- pytree registration: extrapolations trace through jit (tensor-valued BCs) ---
+import jax as _jax
+
+_jax.tree_util.register_pytree_node(
+    ConstantExtrapolation,
+    lambda e: ((e.value,), None),
+    lambda aux, ch: ConstantExtrapolation(ch[0]))
+
+_jax.tree_util.register_pytree_node(
+    _MixedExtrapolation,
+    lambda e: (tuple(v for pair in sorted(e.ext.items()) for v in pair[1]),
+               tuple(k for k, _ in sorted(e.ext.items()))),
+    lambda keys, ch: _MixedExtrapolation({k: (ch[2 * i], ch[2 * i + 1]) for i, k in enumerate(keys)}))
+
+_jax.tree_util.register_pytree_node(
+    _NormalTangentialExtrapolation,
+    lambda e: ((e.normal, e.tangential), None),
+    lambda aux, ch: _NormalTangentialExtrapolation(ch[0], ch[1]))
+
+_jax.tree_util.register_pytree_node(
+    Undefined,
+    lambda e: ((e.derived_from,), None),
+    lambda aux, ch: Undefined(ch[0]))
+
+
+def _register_singleton(cls, singleton):
+    _jax.tree_util.register_pytree_node(cls, lambda e: ((), None), lambda aux, ch: singleton)
+
+
+_register_singleton(_PeriodicExtrapolation, PERIODIC)
+_register_singleton(_BoundaryExtrapolation, BOUNDARY)
+_register_singleton(_SymmetricExtrapolation, SYMMETRIC)
+_register_singleton(_ReflectExtrapolation, REFLECT)
+_register_singleton(_AntiReflectExtrapolation, ANTIREFLECT)
+_register_singleton(_AntiSymmetricExtrapolation, ANTISYMMETRIC)
+_register_singleton(_SymmetricGradientExtrapolation, SYMMETRIC_GRADIENT)
+_register_singleton(_NoExtrapolation, NONE)

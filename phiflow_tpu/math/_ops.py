@@ -669,10 +669,10 @@ def scatter(base_grid, indices: Tensor, values, mode: str = 'update',
     elif mode == 'add':
         out = flat_base.at[lin_flat].add(vals_flat)
     elif mode == 'mean':
-        summed = flat_base.at[lin_flat].add(vals_flat) - flat_base  # pure contribution
+        contrib = jnp.zeros_like(flat_base).at[lin_flat].add(vals_flat)
         ones_v = jnp.ones(vals_flat.shape[:1] + (1,) * (vals_flat.ndim - 1), flat_base.dtype)
         counts = jnp.zeros((flat_base.shape[0],) + (1,) * (vals_flat.ndim - 1), flat_base.dtype).at[lin_flat].add(ones_v)
-        out = jnp.where(counts > 0, summed / jnp.maximum(counts, 1), flat_base)
+        out = jnp.where(counts > 0, contrib / jnp.maximum(counts, 1), flat_base)
     elif mode in ('max', 'maximum'):
         out = flat_base.at[lin_flat].max(vals_flat)
     elif mode in ('min', 'minimum'):
