@@ -377,7 +377,12 @@ class Field:
         if isinstance(other, Field):
             if self._geometry == other._geometry:
                 values = operator(self._values, other._values)
-                extrapolation_ = operator(self._boundary, other._boundary)
+                try:
+                    extrapolation_ = operator(self._boundary, other._boundary)
+                    if extrapolation_ is NotImplemented:
+                        extrapolation_ = self._boundary
+                except (TypeError, NotImplementedError):
+                    extrapolation_ = self._boundary
                 return Field(self._geometry, values, extrapolation_)
             from ._resample import sample
             other_values = sample(other, self._geometry, self.sampled_at, self._boundary, dot_face_normal=self._geometry)
@@ -389,7 +394,14 @@ class Field:
             return Field(self._geometry, values, boundary)
         else:
             if isinstance(other, (tuple, list)):
-                other = wrap(other, self.shape.channel)
+                ch = self.shape.channel
+                if ch.rank == 1 and ch.volume == len(other):
+                    other = wrap(list(other), ch)
+                else:
+                    # scalar field × vector constant → vector field labeled by spatial dims
+                    labels = self.resolution.names
+                    assert len(other) == len(labels), f"vector constant {other} does not match dims {labels}"
+                    other = wrap(list(other), channel(vector=labels))
             else:
                 other = wrap(other)
             values = operator(self._values, other)

@@ -47,15 +47,12 @@ def resample(value, to=None, keep_boundary=False, soft=False, scatter=False,
                                  soft=soft, balance=balance)
         return to.with_values(values)
     if isinstance(value, Field):
-        if keep_boundary:
-            values = sample(value, to.sampled_elements if to.is_staggered else to.geometry,
-                            at=to.sampled_at, boundary=to.boundary,
-                            dot_face_normal=to.geometry if to.is_staggered else None, **kwargs)
-            return to.with_values(values)
-        values = sample(value, to.geometry, at=to.sampled_at, boundary=value.boundary,
+        # keep_boundary=False uses the target's boundary for sampling AND the result
+        # (reference: _resample.py:57-65) — staggered sizes follow the target extrapolation.
+        extrap = value.boundary if keep_boundary else to.boundary
+        values = sample(value, to.geometry, at=to.sampled_at, boundary=extrap,
                         dot_face_normal=to.geometry if to.is_staggered else None, **kwargs)
-        result = Field(to.geometry, values, value.boundary)
-        return result
+        return Field(to.geometry, values, extrap)
     if isinstance(value, FieldInitializer) or callable(value):
         values = sample(value, to.geometry, at=to.sampled_at, boundary=to.boundary,
                         dot_face_normal=to.geometry if to.is_staggered else None, **kwargs)
@@ -219,10 +216,12 @@ def _sample_grid_field(value: Field, geometry, at: str, boundary, dot_face_norma
 
 
 def sample_grid_at_centers(value: Field, target_grid: UniformGrid) -> Tensor:
-    """Interpolate a centered grid field at the cell centers of `target_grid`
-    (reference: phi/field/_resample.py:241). Uses the exact half-cell-shift
-    fast path when grids are aligned, else gather-interpolation."""
-    source_grid = value.geometry
+    """Interpolate a (possibly staggered) grid field at the cell centers of
+    `target_grid` (reference: phi/field/_resample.py:241). Uses the exact
+    half-cell-shift fast path when grids are aligned, else gather-interpolation."""
+    if value.is_staggered:
+        comps = {d: sample_grid_at_centers(value.vector[d], target_grid) for d in value.resolution.names}
+        return stack(comps, channel('vector'))
     if _half_shift_alignment(value, target_grid) is not None:
         return _shift_resample(value, target_grid)
     points = target_grid.center
@@ -231,6 +230,12 @@ def sample_grid_at_centers(value: Field, target_grid: UniformGrid) -> Tensor:
 
 def sample_grid_at_points(value: Field, points: Tensor) -> Tensor:
     """grid_sample at world-space points (the gather-interp hot path)."""
+    if isinstance(points, TensorStack) and not points.is_uniform:
+        comps = [sample_grid_at_points(value, c) for c in points.components]
+        return stack(comps, points.stack_dim)
+    if value.is_staggered:
+        comps = {d: sample_grid_at_points(value.vector[d], points) for d in value.resolution.names}
+        return stack(comps, channel('vector'))
     resolution = value.values.shape.spatial  # works for single staggered component too
     local = value.bounds.global_to_local(points)
     coords = local * wrap([float(s) for s in resolution.sizes], channel(vector=resolution.names)) - 0.5

@@ -93,6 +93,10 @@ class GeometryStack(Geometry):
         return GeometryStack(tuple(g.shifted(delta) for g in self.geometries), self.stack_dim)
 
     def shifted(self, delta: Tensor) -> Geometry:
+        name = self.stack_dim.dims[0].name
+        if isinstance(delta, Tensor) and name in delta.shape:
+            parts = [delta[{name: i}] for i in range(len(self.geometries))]
+            return GeometryStack(tuple(g.shifted(p) for g, p in zip(self.geometries, parts)), self.stack_dim)
         return GeometryStack(tuple(g.shifted(delta) for g in self.geometries), self.stack_dim)
 
     def rotated(self, angle) -> Geometry:

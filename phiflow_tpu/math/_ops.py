@@ -117,9 +117,14 @@ def stack(values, dim: Shape, expand_values=False, **kwargs) -> Tensor:
         values = list(values.values())
     values = [wrap(v) for v in values]
     if expand_values:
-        common = merge_shapes(*[v.shape for v in values])
-        values = [v._expand(common.without(v.shape.names)) for v in values]
+        common = merge_shapes(*[v.shape for v in values], allow_varying_sizes=True)
+        definite = Shape(tuple(d for d in common.dims if d.size is not None))
+        values = [v._expand(definite.without(v.shape.names)) for v in values]
     dim = Shape((dim.dims[0].with_size(len(values), dim.dims[0].labels),))
+    # canonicalize axis order: same dims in different order are still uniform
+    names0 = values[0].shape.names
+    values = [v._transposed(names0) if (set(v.shape.names) == set(names0) and v.shape.names != names0) else v
+              for v in values]
     shapes = [v.shape for v in values]
     uniform = all(s == shapes[0] for s in shapes)
     if uniform and not any(isinstance(v, TensorStack) for v in values):

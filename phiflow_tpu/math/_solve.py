@@ -267,9 +267,15 @@ def _rebuild_from_tensors(template, tensors: list):
 # ---------------------------------------------------------------------------
 
 def _cg(A, b, x0, rtol, atol, max_iter, M=None):
-    """Batched conjugate gradients. A: (B,N)→(B,N) linear; returns (x, res_norm, iters, converged)."""
+    """Batched conjugate gradients. A: (B,N)→(B,N) linear; returns (x, res_norm, iters, converged).
+
+    Works for positive- AND negative-definite operators (the pressure system
+    div∘grad is negative semi-definite) — denominator guards preserve sign."""
     dtype = b.dtype
     eps = jnp.asarray(1e-30, dtype)
+
+    def safe_denom(x):
+        return jnp.where(jnp.abs(x) < eps, jnp.where(x < 0, -eps, eps), x)
 
     def dot(u, v):
         return jnp.sum(u * v, axis=-1, keepdims=True)
@@ -289,7 +295,7 @@ def _cg(A, b, x0, rtol, atol, max_iter, M=None):
     def body(state):
         x, r, z, p, rz, it = state
         Ap = A(p)
-        alpha = rz / jnp.maximum(dot(p, Ap), eps)
+        alpha = rz / safe_denom(dot(p, Ap))
         # freeze converged systems: alpha→0 where already converged
         active = (dot(r, r) > tol_sq).astype(dtype)
         alpha = alpha * active
@@ -297,7 +303,7 @@ def _cg(A, b, x0, rtol, atol, max_iter, M=None):
         r = r - alpha * Ap
         z_new = M(r) if M is not None else r
         rz_new = dot(r, z_new)
-        beta = rz_new / jnp.maximum(rz, eps)
+        beta = rz_new / safe_denom(rz)
         p = z_new + beta * p
         return x, r, z_new, p, rz_new, it + 1
 
@@ -311,6 +317,9 @@ def _bicgstab(A, b, x0, rtol, atol, max_iter, M=None):
     """Batched BiCGStab (covers the reference's 'biCG-stab(2)' use cases)."""
     dtype = b.dtype
     eps = jnp.asarray(1e-30, dtype)
+
+    def safe_denom(v):
+        return jnp.where(jnp.abs(v) < eps, jnp.where(v < 0, -eps, eps), v)
 
     def dot(u, v):
         return jnp.sum(u * v, axis=-1, keepdims=True)
@@ -330,15 +339,15 @@ def _bicgstab(A, b, x0, rtol, atol, max_iter, M=None):
     def body(state):
         x, r, r_hat, rho, alpha, omega, v, p, it = state
         rho_new = dot(r_hat, r)
-        beta = (rho_new / jnp.maximum(rho, eps)) * (alpha / jnp.maximum(omega, eps))
+        beta = (rho_new / safe_denom(rho)) * (alpha / safe_denom(omega))
         p = r + beta * (p - omega * v)
         ph = M(p) if M is not None else p
         v = A(ph)
-        alpha = rho_new / jnp.maximum(dot(r_hat, v), eps)
+        alpha = rho_new / safe_denom(dot(r_hat, v))
         s = r - alpha * v
         sh = M(s) if M is not None else s
         t = A(sh)
-        omega = dot(t, s) / jnp.maximum(dot(t, t), eps)
+        omega = dot(t, s) / safe_denom(dot(t, t))
         active = (dot(r, r) > tol_sq).astype(dtype)
         x = x + active * (alpha * ph + omega * sh)
         r = s - omega * t

@@ -370,7 +370,9 @@ class TensorStack(Tensor):
 
     @property
     def is_uniform(self) -> bool:
-        return all(c.shape == self._components[0].shape for c in self._components)
+        s0 = self._components[0].shape
+        key0 = {(d.name, d.size) for d in s0.dims}
+        return all({(d.name, d.size) for d in c.shape.dims} == key0 for c in self._components)
 
     @property
     def dtype(self):
@@ -386,9 +388,11 @@ class TensorStack(Tensor):
 
     def _contiguous(self) -> Tensor:
         assert self.is_uniform, f"cannot densify non-uniform stack {self.shape}"
-        natives = [c.native() for c in self._components]
+        order = self._components[0].shape.names
+        comps = [c._transposed(order) if c.shape.names != order else c for c in self._components]
+        natives = [c.native() for c in comps]
         native = jnp.stack(natives, axis=0)
-        return Tensor(native, concat_shapes(self._stack_dim, self._components[0].shape))
+        return Tensor(native, concat_shapes(self._stack_dim, comps[0].shape))
 
     def native(self, order=None):
         return self._contiguous().native(order)

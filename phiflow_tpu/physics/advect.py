@@ -1,0 +1,154 @@
+"""Advection schemes (reference: /root/reference/phi/physics/advect.py, SURVEY.md §2.4).
+
+Semi-Lagrangian and MacCormack lower to gather-interpolation (`math.grid_sample`),
+the TPU hot path; `differential` provides the conservative −u·∇u forms for
+higher-order/FVM solvers.
+
+Integrators take the advected Field and return backtraced lookup *points*
+(matching the reference's euler/rk4 at advect.py:20-47).
+"""
+from __future__ import annotations
+
+from typing import Callable, Union
+
+from ..math import Tensor, channel, dual, stack, unstack, wrap
+from ..math import _ops as ops
+from ..math import extrapolation as extrapolation_mod
+from ..geom import Geometry, Point
+from ..field import Field, PointCloud, spatial_gradient, sample, reduce_sample, resample
+from ..field._resample import sample_grid_at_points
+
+__all__ = ['euler', 'rk4', 'finite_rk4', 'advect', 'differential', 'finite_difference',
+           'points', 'semi_lagrangian', 'mac_cormack']
+
+
+def _sample_velocity(velocity: Field, field: Field) -> Tensor:
+    """Full velocity vector at the sample points of `field` (all components,
+    even at staggered face points — reference: sample without dot_face_normal)."""
+    return sample(velocity, field.geometry, at=field.sampled_at, boundary=field.boundary)
+
+
+def euler(field: Field, velocity: Field, dt: float, v0: Tensor = None) -> Tensor:
+    """1st-order lookup points (reference: advect.py:20)."""
+    if v0 is None:
+        v0 = _sample_velocity(velocity, field)
+    return field.points + dt * v0
+
+
+def rk4(field: Field, velocity: Field, dt: float, v0: Tensor = None) -> Tensor:
+    """4th-order Runge-Kutta lookup points (reference: advect.py:27)."""
+    if v0 is None:
+        v0 = _sample_velocity(velocity, field)
+    pts = field.points
+    vel_half = sample(velocity, Point(pts + 0.5 * dt * v0))
+    vel_half2 = sample(velocity, Point(pts + 0.5 * dt * vel_half))
+    vel_full = sample(velocity, Point(pts + dt * vel_half2))
+    vel_rk4 = (1 / 6.) * (v0 + 2 * (vel_half + vel_half2) + vel_full)
+    return pts + dt * vel_rk4
+
+
+def finite_rk4(field: Field, velocity: Field, dt: float, v0: Tensor = None) -> Tensor:
+    """RK4 that treats NaN velocities as zero (FLIP; reference: advect.py:38)."""
+    if v0 is None:
+        v0 = _sample_velocity(velocity, field)
+    v0 = ops.nan_to_0(v0)
+    pts = field.points
+    vel_half = ops.nan_to_0(sample(velocity, Point(pts + 0.5 * dt * v0)))
+    vel_half2 = ops.nan_to_0(sample(velocity, Point(pts + 0.5 * dt * vel_half)))
+    vel_full = ops.nan_to_0(sample(velocity, Point(pts + dt * vel_half2)))
+    vel_rk4 = (1 / 6.) * (v0 + 2 * (vel_half + vel_half2) + vel_full)
+    return pts + dt * vel_rk4
+
+
+def advect(field: Field, velocity: Field, dt: Union[float, Tensor],
+           integrator=euler, **kwargs) -> Field:
+    """Dispatcher (reference: advect.py:50)."""
+    if field.is_point_cloud:
+        return points(field, velocity, dt=dt, integrator=integrator)
+    if field.is_grid:
+        return semi_lagrangian(field, velocity, dt=dt, integrator=integrator, **kwargs)
+    raise NotImplementedError(f"advection of {field}")
+
+
+def differential(u: Field, velocity: Field, density: float = 1., order=2, implicit=None, upwind=True) -> Field:
+    """Discretized −u·∇u advection term for differential solvers
+    (reference: advect.py:78)."""
+    if u.is_grid and u.is_centered:
+        grad = spatial_gradient(u, at='center', order=order, stack_dim=channel('_gradient'))
+        vel_c = velocity.at(u) if (velocity.geometry != u.geometry or velocity.is_staggered) else velocity
+        comps = [vel_c.values[{'vector': d}] * grad.values[{'_gradient': i}]
+                 for i, d in enumerate(u.resolution.names)]
+        total = comps[0]
+        for c in comps[1:]:
+            total = total + c
+        return Field(u.geometry, -total * density, u.boundary)
+    if u.is_grid and u.is_staggered:
+        comps = []
+        for dim in u.resolution.names:
+            comp = u.vector[dim]
+            grad = spatial_gradient(comp, at='center', order=order, stack_dim=channel('_gradient'))
+            vel_at = sample(velocity, comp.geometry, at='center')
+            terms = [vel_at[{'vector': d}] * grad.values[{'_gradient': i}]
+                     for i, d in enumerate(u.resolution.names)]
+            total = terms[0]
+            for t in terms[1:]:
+                total = total + t
+            comps.append(-total * density)
+        values = stack(comps, dual(vector=u.resolution.names))
+        return Field(u.geometry, values, u.boundary)
+    if u.is_mesh:
+        from ..field._mesh_math import mesh_advection_differential
+        return mesh_advection_differential(u, velocity, density=density, order=order, upwind=upwind)
+    raise NotImplementedError(type(u.geometry))
+
+
+finite_difference = differential
+
+
+def points(points_: Union[Field, Geometry, Tensor], velocity: Field, dt: float, integrator=euler):
+    """Lagrangian particle advection (reference: advect.py:136)."""
+    field = points_ if isinstance(points_, Field) else PointCloud(points_)
+    lookup = integrator(field, velocity, dt)
+    new_elements = field.geometry.at(lookup)
+    result = field.with_geometry(new_elements)
+    if isinstance(points_, Field):
+        return result
+    return result.geometry if isinstance(points_, Geometry) else result.center
+
+
+def semi_lagrangian(field: Field, velocity: Field, dt: float, integrator=euler) -> Field:
+    """Backtrace + interpolate (reference: advect.py:156) — the gather hot path."""
+    lookup = integrator(field, velocity, -dt)
+    interpolated = reduce_sample(field, lookup)
+    return field.with_values(interpolated)
+
+
+def mac_cormack(field: Field, velocity: Field, dt: float, correction_strength=1.0, integrator=euler) -> Field:
+    """MacCormack advection with monotonicity clamp (reference: advect.py:182-215)."""
+    v0 = _sample_velocity(velocity, field)
+    points_bwd = integrator(field, velocity, -dt, v0=v0)
+    points_fwd = integrator(field, velocity, dt, v0=v0)
+    fwd_adv = field.with_values(reduce_sample(field, points_bwd))
+    bwd_adv = fwd_adv.with_values(reduce_sample(fwd_adv, points_fwd))
+    new_field = fwd_adv + correction_strength * 0.5 * (field - bwd_adv)
+    # --- clamp to the 2^d neighborhood of the backward lookup (reference :210-215) ---
+    closest_dims = [f"closest_{d}" for d in field.resolution.names]
+    if field.is_staggered:
+        comps = []
+        for dim in field.resolution.names:
+            comp = field.vector[dim]
+            pts = points_bwd[{'~vector': dim}] if '~vector' in points_bwd.shape else points_bwd
+            res = comp.values.shape.spatial
+            local = comp.bounds.global_to_local(pts) * wrap(
+                [float(s) for s in res.sizes], channel(vector=res.names)) - 0.5
+            neighbors = ops.closest_grid_values(comp.values, local, comp.boundary, 'closest_')
+            lim_lo = ops.min_(neighbors, closest_dims)
+            lim_up = ops.max_(neighbors, closest_dims)
+            comps.append(ops.clip(new_field.vector[dim].values, lim_lo, lim_up))
+        values = stack(comps, dual(vector=field.resolution.names))
+        return Field(field.geometry, values, field.boundary)
+    limits = field.closest_values(points_bwd)
+    lim_lo = ops.min_(limits, closest_dims)
+    lim_up = ops.max_(limits, closest_dims)
+    values_clamped = ops.clip(new_field.values, lim_lo, lim_up)
+    return new_field.with_values(values_clamped)

@@ -1,0 +1,257 @@
+"""Incompressible fluid solver (reference: /root/reference/phi/physics/fluid.py,
+SURVEY.md §2.4 and call stack §3.1/§3.2).
+
+`make_incompressible` projects a velocity field onto its divergence-free part by
+solving the pressure Poisson system. The linear operator (`masked_laplace`) stays
+matrix-free: each CG iteration applies grad→mask→div as one XLA-fused stencil,
+with psum-able dot products for multi-chip sharding (phiflow_tpu.parallel).
+"""
+from __future__ import annotations
+
+import warnings
+from typing import Callable, List, Optional, Tuple, Union
+
+from ..math import (
+    Tensor, Solve, wrap, channel, batch, spatial, non_channel, merge_shapes, expand, copy_with,
+    NUMPY, shape as shape_of,
+)
+from ..math import _ops as ops
+from ..math import extrapolation, solve_linear, jit_compile_linear
+from ..math.extrapolation import Extrapolation, ConstantExtrapolation
+from ..geom import Geometry, union
+from ..field import (
+    Field, CenteredGrid, StaggeredGrid, AngularVelocity, PointCloud, resample, spatial_gradient,
+    divergence, where, safe_mul, stagger as field_stagger, mean as field_mean, is_finite as field_is_finite,
+)
+from ..field._embed import FieldEmbedding
+
+__all__ = ['Obstacle', 'make_incompressible', 'masked_laplace', 'apply_boundary_conditions',
+           'boundary_push', 'incompressible_rk4']
+
+
+class Obstacle:
+    """Boundary conditions inside a geometry, optionally moving/rotating
+    (reference: fluid.py:21-84)."""
+
+    def __init__(self, geometry: Geometry, velocity=0, angular_velocity=0):
+        self.geometry = geometry
+        self.velocity = wrap(list(velocity), channel(vector=geometry.shape.get_labels('vector'))) \
+            if isinstance(velocity, (tuple, list)) else wrap(velocity)
+        self.angular_velocity = wrap(angular_velocity)
+        self.shape = merge_shapes(shape_of(geometry), non_channel(self.velocity), non_channel(self.angular_velocity))
+
+    @property
+    def is_stationary(self):
+        return not self.is_moving and not self.is_rotating
+
+    @property
+    def is_rotating(self):
+        return not ops.always_close(self.angular_velocity, 0)
+
+    @property
+    def is_moving(self):
+        return not ops.always_close(self.velocity, 0)
+
+    def with_geometry(self, geometry):
+        return Obstacle(geometry, self.velocity, self.angular_velocity)
+
+    def shifted(self, delta):
+        return self.with_geometry(self.geometry.shifted(delta))
+
+    def at(self, position):
+        return self.with_geometry(self.geometry.at(position))
+
+    def rotated(self, angle):
+        return self.with_geometry(self.geometry.rotated(angle))
+
+    def __variable_attrs__(self):
+        return 'geometry', 'velocity', 'angular_velocity'
+
+    def __eq__(self, other):
+        return isinstance(other, Obstacle) and self.geometry == other.geometry \
+            and ops.equal(self.velocity, other.velocity) and ops.equal(self.angular_velocity, other.angular_velocity)
+
+    def __hash__(self):
+        return hash('Obstacle')
+
+    def __repr__(self):
+        return f"Obstacle({self.geometry})"
+
+
+import jax as _jax
+
+_jax.tree_util.register_pytree_node(
+    Obstacle,
+    lambda o: ((o.geometry, o.velocity, o.angular_velocity), None),
+    lambda aux, ch: Obstacle(ch[0], ch[1], ch[2]))
+
+
+def _get_obstacles_for(obstacles, space: Field) -> List[Obstacle]:
+    obstacles = [obstacles] if isinstance(obstacles, (Obstacle, Geometry)) else obstacles
+    assert isinstance(obstacles, (tuple, list)), f"obstacles must be Obstacle/Geometry or tuple/list, got {type(obstacles)}"
+    return [Obstacle(o) if isinstance(o, Geometry) else o for o in obstacles]
+
+
+def make_incompressible(velocity: Field,
+                        obstacles=(),
+                        solve: Solve = Solve(),
+                        active: Field = None,
+                        order: int = 2,
+                        correct_skew=False,
+                        wide_stencil: bool = None) -> Tuple[Field, Field]:
+    """Project velocity onto its divergence-free part via a pressure solve
+    (reference: fluid.py:94-162; call stack SURVEY.md §3.2)."""
+    obstacles = _get_obstacles_for(obstacles, velocity)
+    assert order <= 2 or len(obstacles) == 0, "obstacles require order=2"
+    input_velocity = velocity
+    # --- obstacle masks ---
+    all_active = active is None
+    hard_bcs = None
+    if obstacles:
+        accessible_boundary = _accessible_extrapolation(input_velocity.boundary)
+        accessible = Field(velocity.geometry, ~union([obs.geometry for obs in obstacles]), accessible_boundary)
+        hard_bcs = field_stagger(accessible, ops.minimum, velocity.boundary, at=velocity.sampled_at,
+                                 dims=velocity.resolution.names)
+        active = accessible.with_boundary(extrapolation.NONE) if active is None else active * accessible
+        velocity = apply_boundary_conditions(velocity, obstacles)
+    div = divergence(velocity, order=order)
+    if active is not None:
+        div = div * active
+    # --- singular-system handling (closed/periodic domains) ---
+    if not all_active:
+        div = where(field_is_finite(div), div, 0)
+    if not input_velocity.boundary.is_flexible and all_active:
+        solve = solve.with_preprocessing(_balance_divergence, active)
+        if solve.rank_deficiency is None:
+            solve = copy_with(solve, rank_deficiency=1)
+    if solve.x0 is None:
+        pressure_extrapolation = _pressure_extrapolation(input_velocity.boundary)
+        solve = copy_with(solve, x0=Field(div.geometry, wrap(0.), pressure_extrapolation))
+    if wide_stencil is None:
+        wide_stencil = not velocity.is_staggered
+    # --- linear solve for pressure ---
+    pressure = solve_linear(masked_laplace, div, solve, input_velocity.boundary, hard_bcs, active,
+                            wide_stencil=wide_stencil, order=order)
+    # --- subtract pressure gradient ---
+    grad_pressure = spatial_gradient(pressure, input_velocity.boundary, at=velocity.sampled_at, order=order)
+    if hard_bcs is not None:
+        grad_pressure = grad_pressure * hard_bcs
+    velocity = (velocity - grad_pressure).with_boundary(input_velocity.boundary)
+    return velocity, pressure
+
+
+@jit_compile_linear(auxiliary_args='wide_stencil,order', forget_traces=True)
+def masked_laplace(pressure: Field,
+                   v_boundary: Extrapolation,
+                   hard_bcs: Field,
+                   active: Field,
+                   wide_stencil=False,
+                   order=2) -> Field:
+    """Laplace of pressure respecting obstacle masks — the CG matvec
+    (reference: fluid.py:165-202). grad → mask → div fuses into one XLA stencil
+    kernel per iteration."""
+    if pressure.is_mesh:
+        from ..field import laplace as field_laplace
+        return field_laplace(pressure, order=order)
+    if order > 2 and not wide_stencil:
+        from ..field import laplace as field_laplace
+        return field_laplace(pressure, order=order)
+    if wide_stencil and hard_bcs is None and active is None:
+        grad = spatial_gradient(pressure, v_boundary, at='center', order=order)
+        grad = grad.with_boundary(extrapolation.remove_constant_offset(grad.boundary))
+        return divergence(grad, order=order)
+    grad = spatial_gradient(pressure, v_boundary, at='face', order=2)
+    valid_grad = grad * hard_bcs if hard_bcs is not None else grad
+    valid_grad = valid_grad.with_boundary(extrapolation.remove_constant_offset(valid_grad.boundary))
+    div = divergence(valid_grad)
+    return where(active, div, pressure) if active is not None else div
+
+
+def _balance_divergence(div: Field, active: Optional[Field]) -> Field:
+    """Subtract the mean so the singular Poisson system is solvable
+    (reference: fluid.py:205)."""
+    if active is not None:
+        return div - active * (field_mean(div) / field_mean(active))
+    return div - field_mean(div)
+
+
+def apply_boundary_conditions(velocity: Field, obstacles):
+    """Blend obstacle velocities into the velocity field
+    (reference: fluid.py:212-241)."""
+    obstacles = _get_obstacles_for(obstacles, velocity)
+    for obstacle in obstacles:
+        obs_mask = resample(obstacle.geometry, velocity, soft=True, balance=1)
+        if obstacle.is_stationary:
+            velocity = safe_mul(1 - obs_mask, velocity)
+        else:
+            if obstacle.is_rotating:
+                angular_velocity = resample(
+                    AngularVelocity(location=obstacle.geometry.center, strength=obstacle.angular_velocity,
+                                    falloff=None), to=velocity)
+            else:
+                angular_velocity = velocity * 0
+            velocity = safe_mul(1 - obs_mask, velocity) + safe_mul(obs_mask, angular_velocity + obstacle.velocity)
+    return velocity
+
+
+def boundary_push(particles: Field, obstacles, separation: float = 0.5) -> Field:
+    """Push particles out of obstacles / back into the domain
+    (reference: fluid.py:243-262)."""
+    pos = particles.geometry.center
+    for obj in obstacles:
+        geometry = obj.geometry if isinstance(obj, Obstacle) else obj
+        assert isinstance(geometry, Geometry), f"expected Geometry, got {type(obj)}"
+        pos = geometry.push(pos, shift_amount=separation)
+    return particles.with_geometry(particles.geometry.at(pos))
+
+
+def _pressure_extrapolation(vext: Extrapolation) -> Extrapolation:
+    """Derive the pressure BC from the velocity BC (reference: fluid.py:264-276)."""
+    if vext == extrapolation.PERIODIC:
+        return extrapolation.PERIODIC
+    elif vext == extrapolation.BOUNDARY:
+        return extrapolation.ZERO
+    elif isinstance(vext, ConstantExtrapolation):
+        return extrapolation.BOUNDARY
+    elif isinstance(vext, FieldEmbedding):
+        return extrapolation.BOUNDARY
+    return extrapolation.map(_pressure_extrapolation, vext)
+
+
+def _accessible_extrapolation(vext: Extrapolation) -> Extrapolation:
+    """Derive the accessible-cells BC from the velocity BC (reference: fluid.py:278-288)."""
+    vext = extrapolation.get_normal(vext)
+    if vext == extrapolation.PERIODIC:
+        return extrapolation.PERIODIC
+    elif vext == extrapolation.BOUNDARY:
+        return extrapolation.ONE
+    elif isinstance(vext, ConstantExtrapolation):
+        return extrapolation.ZERO
+    elif isinstance(vext, FieldEmbedding):
+        return extrapolation.ONE
+    return extrapolation.map(_accessible_extrapolation, vext)
+
+
+def incompressible_rk4(pde: Callable, velocity: Field, pressure: Field, dt, pressure_order=4,
+                       pressure_solve=Solve('CG'), **pde_aux_kwargs):
+    """RK4 time integration with pressure projection inside the loop
+    (Kampanis-style; reference: fluid.py:291-334)."""
+    v1, p1 = velocity, pressure
+    rhs1 = pde(v1, **pde_aux_kwargs) - p1.gradient(at=v1.sampled_at, order=pressure_order)
+    v2_old = velocity + (dt / 2) * rhs1
+    v2, delta_p = make_incompressible(v2_old, solve=pressure_solve, order=pressure_order)
+    p2 = p1 + delta_p / dt
+    rhs2 = pde(v2, **pde_aux_kwargs) - p2.gradient(at=v1.sampled_at, order=pressure_order)
+    v3_old = velocity + (dt / 2) * rhs2
+    v3, delta_p = make_incompressible(v3_old, solve=pressure_solve, order=pressure_order)
+    p3 = p2 + delta_p / dt
+    rhs3 = pde(v3, **pde_aux_kwargs) - p3.gradient(at=v1.sampled_at, order=pressure_order)
+    v4_old = velocity + dt * rhs2
+    v4, delta_p = make_incompressible(v4_old, solve=pressure_solve, order=pressure_order)
+    p4 = p3 + delta_p / dt
+    rhs4 = pde(v4, **pde_aux_kwargs) - p4.gradient(at=v1.sampled_at, order=pressure_order)
+    v_p1_old = velocity + (dt / 6) * (rhs1 + 2 * rhs2 + 2 * rhs3 + rhs4)
+    p_p1_old = (1 / 6) * (p1 + 2 * p2 + 2 * p3 + p4)
+    v_p1, delta_p = make_incompressible(v_p1_old, solve=pressure_solve, order=pressure_order)
+    p_p1 = p_p1_old + delta_p / dt
+    return v_p1, p_p1
