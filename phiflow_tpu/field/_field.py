@@ -404,12 +404,12 @@ class Field:
                     other = wrap(list(other), channel(vector=labels))
             else:
                 other = wrap(other)
+            if self.is_staggered and 'vector' in other.shape and 'vector' not in self._values.shape:
+                # align vector constants with staggered components (reference: _field.py:811 as_dual)
+                other = rename_dims(other, 'vector', dual(vector=other.shape.get_labels('vector')))
             values = operator(self._values, other)
-            try:
-                boundary = operator(self._boundary, other)
-            except Exception:
-                boundary = self._boundary
-            return Field(self._geometry, values, boundary)
+            # constants don't affect boundary conditions (reference: _field.py:810 legacy behavior)
+            return Field(self._geometry, values, self._boundary)
 
     def __add__(self, other): return self._op2(other, lambda a, b: a + b)
     def __radd__(self, other): return self._op2(other, lambda a, b: b + a)

@@ -49,12 +49,13 @@ def rotate_vector(v: Tensor, angle, invert=False) -> Tensor:
         return v
     labels = v.shape.get_labels('vector')
     m = angle if isinstance(angle, Tensor) and '~vector' in angle.shape else rotation_matrix(angle, labels)
+    # m[~vector=row, vector=col]: y_row = Σ_col R[row,col] x_col
     if invert:
-        # R⁻¹ = Rᵀ: contract v against the 'vector' (row) dim instead
-        out = ops.sum_(m * v, 'vector')
-        return rename_dims(out, '~vector', channel(vector=labels))
-    vd = rename_dims(v, 'vector', dual(vector=labels))
-    return ops.sum_(m * vd, '~vector')
+        # R⁻¹ = Rᵀ: contract over rows (~vector) instead
+        vd = rename_dims(v, 'vector', dual(vector=labels))
+        return ops.sum_(m * vd, '~vector')
+    out = ops.sum_(m * v, 'vector')
+    return rename_dims(out, '~vector', channel(vector=labels))
 
 
 def rotation_angles(matrix: Tensor):

@@ -1,0 +1,99 @@
+import numpy as np
+import pytest
+
+import phiflow_tpu.math as math
+from phiflow_tpu.math import Solve, SolveTape, spatial, batch, wrap, NotConverged
+
+
+def _neg_lap_periodic(x):
+    lo, up = math.shift(x, (-1, 1), 'x', math.extrapolation.PERIODIC, stack_dim=None)
+    return 2 * x - lo - up
+
+
+def _neg_lap_dirichlet(x):
+    lo, up = math.shift(x, (-1, 1), 'x', math.extrapolation.ZERO, stack_dim=None)
+    return 2 * x - lo - up
+
+
+def test_cg_dirichlet():
+    rhs = math.random_normal(spatial(x=32))
+    x = math.solve_linear(_neg_lap_dirichlet, rhs, Solve('CG', 1e-6, 1e-6))
+    math.assert_close(_neg_lap_dirichlet(x), rhs, abs_tolerance=1e-4)
+
+
+def test_cg_singular_periodic():
+    rhs = math.random_normal(spatial(x=32))
+    rhs = rhs - math.mean(rhs)
+    x = math.solve_linear(_neg_lap_periodic, rhs, Solve('CG', 1e-6, 1e-6, rank_deficiency=1))
+    math.assert_close(_neg_lap_periodic(x), rhs, abs_tolerance=1e-4)
+
+
+def test_bicgstab():
+    rhs = math.random_normal(spatial(x=16))
+    x = math.solve_linear(_neg_lap_dirichlet, rhs, Solve('biCG-stab(2)', 1e-6, 1e-6))
+    math.assert_close(_neg_lap_dirichlet(x), rhs, abs_tolerance=1e-4)
+
+
+def test_direct():
+    rhs = math.random_normal(spatial(x=16))
+    x = math.solve_linear(_neg_lap_dirichlet, rhs, Solve('scipy-direct', 1e-6, 1e-6))
+    math.assert_close(_neg_lap_dirichlet(x), rhs, abs_tolerance=1e-4)
+
+
+def test_batched_solve():
+    rhs = math.random_normal(batch(b=3), spatial(x=16))
+    x = math.solve_linear(_neg_lap_dirichlet, rhs, Solve('CG', 1e-6, 1e-6))
+    assert 'b' in x.shape
+    math.assert_close(_neg_lap_dirichlet(x), rhs, abs_tolerance=1e-4)
+
+
+def test_gradient_through_solve():
+    rhs = math.random_normal(spatial(x=16))
+
+    def loss(r):
+        x = math.solve_linear(_neg_lap_dirichlet, r, Solve('CG', 1e-7, 1e-7))
+        return math.sum(x ** 2)
+
+    grad_fn = math.gradient(loss, wrt=0, get_output=True)
+    val, grad = grad_fn(rhs)
+    # finite difference check on one entry
+    eps = 1e-2
+    e3 = math.tensor(np.eye(16, dtype=np.float32)[3], spatial(x=16))
+    fd = (float(loss(rhs + e3 * eps)) - float(loss(rhs - e3 * eps))) / (2 * eps)
+    assert abs(fd - float(grad.x[3])) / (abs(fd) + 1e-6) < 0.05
+
+
+def test_solve_tape():
+    rhs = math.random_normal(spatial(x=16))
+    with SolveTape() as tape:
+        math.solve_linear(_neg_lap_dirichlet, rhs, Solve('CG', 1e-6, 1e-6))
+    assert len(tape) == 1
+    assert tape[0].converged
+
+
+def test_not_converged_raises():
+    rhs = math.random_normal(spatial(x=64))
+    with pytest.raises(NotConverged):
+        math.solve_linear(_neg_lap_dirichlet, rhs, Solve('CG', 1e-12, 1e-12, max_iterations=2))
+
+
+def test_affine_offset():
+    # f(x) = A x + c (constant offset from boundary padding) — must be handled
+    def affine(x):
+        return _neg_lap_dirichlet(x) + 5.0
+
+    rhs = math.random_normal(spatial(x=16))
+    x = math.solve_linear(affine, rhs, Solve('CG', 1e-6, 1e-6))
+    math.assert_close(affine(x), rhs, abs_tolerance=1e-4)
+
+
+def test_minimize():
+    from phiflow_tpu.math import minimize
+    target = wrap(np.array([1., 2., 3.], np.float32), spatial('x'))
+
+    def loss(x):
+        return math.sum((x - target) ** 2)
+
+    x0 = math.zeros(spatial(x=3))
+    x = minimize(loss, Solve('BFGS', 1e-6, 1e-6, x0=x0))
+    math.assert_close(x, target, abs_tolerance=1e-3)

@@ -1,0 +1,97 @@
+import numpy as np
+import jax
+import pytest
+
+import phiflow_tpu.math as math
+from phiflow_tpu.math import (
+    Tensor, TensorStack, wrap, spatial, channel, batch, instance, dual, stack, unstack,
+)
+
+
+def test_wrap_and_native():
+    t = wrap(np.arange(12, dtype=np.float32).reshape(3, 4), spatial('y,x'))
+    assert t.shape.names == ('y', 'x')
+    assert t.native(('x', 'y')).shape == (4, 3)
+    assert np.allclose(t.numpy(('y', 'x')), np.arange(12).reshape(3, 4))
+
+
+def test_broadcast_by_name():
+    a = math.ones(spatial(x=4))
+    b = math.ones(spatial(y=3)) * 2
+    c = a + b
+    assert set(c.shape.names) == {'x', 'y'}
+    assert float(c.x[0].y[0]) == 3.0
+
+
+def test_labels_getitem():
+    v = math.vec(x=1.0, y=2.0)
+    assert float(v.vector['y']) == 2.0
+    assert float(v[{'vector': 'x'}]) == 1.0
+
+
+def test_slicing():
+    t = wrap(np.arange(12, dtype=np.float32).reshape(3, 4), spatial('y,x'))
+    assert t.y[0].shape.names == ('x',)
+    assert t[{'y': slice(1, 3)}].shape.get_size('y') == 2
+    assert float(t[{'y': 1, 'x': 2}]) == 6.0
+
+
+def test_non_uniform_stack():
+    a = math.ones(spatial(x=3, y=4))
+    b = math.ones(spatial(x=4, y=3))
+    st = stack([a, b], dual(vector='x,y'))
+    assert isinstance(st, TensorStack)
+    assert st[{'~vector': 'x'}].shape.sizes == (3, 4)
+    doubled = st * 2
+    assert float(doubled[{'~vector': 'y'}].x[0].y[0]) == 2.0
+
+
+def test_jit_pytree():
+    t = wrap(np.ones(4, np.float32), spatial('x'))
+
+    @jax.jit
+    def f(x):
+        return x * 2 + 1
+
+    r = f(t)
+    assert isinstance(r, Tensor)
+    assert np.allclose(r.numpy('x'), 3.0)
+
+
+def test_reductions():
+    t = wrap(np.arange(6, dtype=np.float32).reshape(2, 3), spatial('y,x'))
+    assert float(math.sum(t)) == 15
+    assert float(math.max(t)) == 5
+    assert math.sum(t, 'x').shape.names == ('y',)
+    assert float(math.mean(t)) == 2.5
+
+
+def test_pack_unpack():
+    t = math.ones(spatial(x=4, y=3))
+    p = math.pack_dims(t, 'x,y', instance('points'))
+    assert p.shape.get_size('points') == 12
+    u = math.unpack_dim(p, 'points', spatial(x=4, y=3))
+    assert u.shape.spatial.sizes == (4, 3)
+
+
+def test_gather_scatter():
+    base = math.zeros(spatial(x=5))
+    idx = wrap(np.array([[1], [3]], np.int32), instance(points=2), channel(vector='x'))
+    vals = wrap(np.array([10., 20.], np.float32), instance(points=2))
+    r = math.scatter(base, idx, vals, mode='add')
+    assert np.allclose(r.numpy('x'), [0, 10, 0, 20, 0])
+    g = math.gather(r, idx)
+    assert np.allclose(g.numpy('points'), [10, 20])
+
+
+def test_fft_roundtrip():
+    t = math.random_normal(spatial(x=16, y=8))
+    rt = math.real(math.ifft(math.fft(t)))
+    math.assert_close(t, rt, abs_tolerance=1e-5)
+
+
+def test_grid_sample_linear():
+    g = wrap(np.array([0., 1., 2., 3.], np.float32), spatial('x'))
+    coords = wrap(np.array([[0.5], [1.25]], np.float32), instance(p=2), channel(vector='x'))
+    v = math.grid_sample(g, coords, math.extrapolation.ZERO)
+    assert np.allclose(v.numpy('p'), [0.5, 1.25])

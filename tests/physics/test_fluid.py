@@ -1,0 +1,104 @@
+"""Incompressibility tests mirroring the reference strategy
+(/root/reference/tests/commit/physics/test_fluid.py: divergence-free after
+projection across extrapolations and batch dims, obstacle handling, gradients)."""
+import numpy as np
+import jax
+import pytest
+
+import phiflow_tpu.math as math
+from phiflow_tpu.math import spatial, channel, batch, extrapolation, wrap, Solve
+from phiflow_tpu.geom import Box, Sphere, Cuboid
+from phiflow_tpu.field import CenteredGrid, StaggeredGrid, Noise, divergence, resample
+from phiflow_tpu.physics import fluid, advect, diffuse
+from phiflow_tpu.physics.fluid import Obstacle
+
+
+@pytest.mark.parametrize('ext', [extrapolation.ZERO, extrapolation.PERIODIC, extrapolation.BOUNDARY])
+def test_make_incompressible_divergence_free(ext):
+    v = StaggeredGrid(Noise(vector='x,y'), ext, x=16, y=16)
+    v2, p = fluid.make_incompressible(v, (), Solve('CG', 1e-5, 1e-5))
+    div = divergence(v2)
+    assert float(math.max(abs(div.values))) < 5e-4, f"{ext}"
+
+
+def test_make_incompressible_centered():
+    v = CenteredGrid(Noise(vector='x,y'), extrapolation.PERIODIC, x=16, y=16)
+    v2, p = fluid.make_incompressible(v, (), Solve('CG', 1e-5, 1e-5))
+    div = divergence(v2)
+    # centered projection (wide stencil) is approximate but should reduce divergence strongly
+    assert float(math.max(abs(div.values))) < 0.5 * float(math.max(abs(divergence(v).values)))
+
+
+def test_batched_incompressible():
+    v = StaggeredGrid(Noise(batch(b=2), vector='x,y'), extrapolation.ZERO, x=16, y=16)
+    v2, p = fluid.make_incompressible(v, (), Solve('CG', 1e-5, 1e-5))
+    assert 'b' in v2.shape
+    div = divergence(v2).values
+    assert float(math.max(abs(div), div.shape)) < 5e-4
+
+
+def test_obstacle():
+    v = StaggeredGrid(Noise(vector='x,y'), extrapolation.ZERO, x=24, y=24, bounds=Box(x=24, y=24))
+    obstacle = Sphere(x=12, y=12, radius=4)
+    v2, p = fluid.make_incompressible(v, [obstacle], Solve('CG', 1e-5, 1e-5))
+    div = divergence(v2)
+    # In a closed domain with an obstacle, the net divergence injected by the
+    # obstacle mask cannot be removed — it is spread uniformly (balance_divergence).
+    # So we check the divergence is *constant* outside the obstacle.
+    mask = resample(~obstacle, to=div, soft=False)
+    masked_div = div.values * mask.values
+    mean_active = math.sum(masked_div) / math.sum(mask.values)
+    assert float(math.max(abs((masked_div - mean_active) * mask.values))) < 1e-3
+
+
+def test_moving_obstacle():
+    v = StaggeredGrid(0., extrapolation.ZERO, x=24, y=24, bounds=Box(x=24, y=24))
+    obs = Obstacle(Cuboid(math.vec(x=12., y=12.), half_size=math.vec(x=3., y=3.)), velocity=(1., 0.))
+    v2, p = fluid.make_incompressible(v, [obs], Solve('CG', 1e-5, 1e-5))
+    # velocity inside obstacle region should be near obstacle velocity
+    vx_at_center = v2.vector['x'].values[{'x': 12, 'y': 12}]
+    assert abs(float(vx_at_center) - 1.0) < 0.5
+
+
+def test_jit_make_incompressible():
+    v0 = StaggeredGrid(Noise(vector='x,y'), extrapolation.ZERO, x=16, y=16)
+
+    @jax.jit
+    def project(v):
+        v2, p = fluid.make_incompressible(v, (), Solve('CG', 1e-5, 1e-5))
+        return v2
+
+    v2 = project(v0)
+    assert float(math.max(abs(divergence(v2).values))) < 5e-4
+
+
+def test_gradient_through_projection():
+    """Gradients flow through the pressure solve (implicit diff)
+    (reference: test_fluid.py:56-73)."""
+    v0 = StaggeredGrid(Noise(vector='x,y'), extrapolation.ZERO, x=8, y=8)
+
+    def loss(v):
+        v2, p = fluid.make_incompressible(v, (), Solve('CG', 1e-6, 1e-6))
+        return math.sum(p.values ** 2)
+
+    grad_fn = math.gradient(loss, wrt=0, get_output=True)
+    val, grad = grad_fn(v0)
+    assert np.isfinite(float(val))
+    g_leaves = jax.tree_util.tree_leaves(grad)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in g_leaves)
+    assert any(float(np.max(np.abs(np.asarray(g)))) > 0 for g in g_leaves)
+
+
+def test_smoke_plume_steps():
+    velocity = StaggeredGrid(0., 0., x=24, y=24, bounds=Box(x=24, y=24))
+    smoke = CenteredGrid(0., extrapolation.BOUNDARY, x=24, y=24, bounds=Box(x=24, y=24))
+    inflow = Sphere(x=12, y=4, radius=3)
+    p = None
+    for _ in range(3):
+        smoke = advect.mac_cormack(smoke, velocity, 1.) + 0.2 * resample(inflow, to=smoke, soft=True)
+        buoyancy = resample(smoke * (0., 0.1), to=velocity)
+        velocity = advect.semi_lagrangian(velocity, velocity, 1.) + buoyancy
+        velocity, p = fluid.make_incompressible(velocity, (), Solve('CG', 1e-3, x0=p))
+    assert float(math.sum(smoke.values)) > 0
+    assert float(math.max(abs(divergence(velocity).values))) < 1e-3
+    assert float(math.max(velocity.vector['y'].values)) > 0  # plume rises
