@@ -1,0 +1,73 @@
+"""Benchmark: 3D smoke plume cells/sec/chip (driver metric, BASELINE.md).
+
+Runs the flagship config (MacCormack smoke + semi-Lagrangian staggered velocity +
+pressure CG projection — reference recipe examples/grids/Smoke_Plume.ipynb) on
+the default device and prints ONE JSON line.
+"""
+import json
+import os
+import sys
+import time
+
+
+def run_bench(resolution: int, dims: int = 3, steps: int = 10, warmup: int = 3, cg_tol: float = 1e-3,
+              max_iterations: int = 100):
+    import jax
+    from phiflow_tpu.models import SmokePlume
+
+    model = SmokePlume(resolution=resolution, dims=dims, cg_tol=cg_tol, max_iterations=max_iterations)
+    v, s, p = model.initial_state()
+
+    step = jax.jit(model.step)
+    # warmup (compile)
+    t_compile = time.perf_counter()
+    for _ in range(warmup):
+        v, s, p = step(v, s, p)
+    jax.block_until_ready(jax.tree_util.tree_leaves((v, s, p)))
+    t_compile = time.perf_counter() - t_compile
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        v, s, p = step(v, s, p)
+    jax.block_until_ready(jax.tree_util.tree_leaves((v, s, p)))
+    elapsed = time.perf_counter() - t0
+    per_step = elapsed / steps
+    cells = resolution ** dims
+    return {
+        'resolution': resolution,
+        'dims': dims,
+        'per_step_ms': per_step * 1000,
+        'cells_per_sec': cells / per_step,
+        'compile_s': t_compile,
+    }
+
+
+def main():
+    import jax
+    results = {}
+    # Benchmark ladder: stop growing when a size fails (memory) or takes too long.
+    for res in (128, 192, 256):
+        try:
+            results[res] = run_bench(res, dims=3, steps=6, warmup=2)
+        except Exception as exc:  # OOM or compile failure at large sizes
+            sys.stderr.write(f"bench {res}^3 failed: {type(exc).__name__}: {exc}\n")
+            break
+    if not results:
+        print(json.dumps({'metric': 'cells/sec/chip 3D smoke plume', 'value': 0.0,
+                          'unit': 'cells/s', 'vs_baseline': None, 'error': 'all sizes failed'}))
+        return
+    best_res = max(results)
+    best = results[best_res]
+    print(json.dumps({
+        'metric': f'cells/sec/chip 3D smoke plume {best_res}^3',
+        'value': round(best['cells_per_sec'], 1),
+        'unit': 'cells/s',
+        'vs_baseline': None,  # reference publishes no numbers (BASELINE.md)
+        'per_step_ms': round(best['per_step_ms'], 2),
+        'all': {str(k): round(val['cells_per_sec'], 1) for k, val in results.items()},
+        'device': str(jax.devices()[0]),
+    }))
+
+
+if __name__ == '__main__':
+    main()

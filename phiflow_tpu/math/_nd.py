@@ -54,16 +54,27 @@ def _grid_sample_xla(grid: Tensor, coordinates: Tensor, extrap: Optional[Extrapo
     p_sizes = [grid_p.shape.get_size(n) for n in dims]
     kept = grid_p.shape.without(dims)  # batch/channel dims of grid
     out_dims = coordinates.shape.without(ch.name)  # listing dims of the query
-    # natives
-    gt = grid_p._transposed(tuple(dims) + kept.names)
-    flat_grid = gt.native().reshape((int(np.prod(p_sizes)),) + tuple(kept.sizes))
+    # dims present in BOTH the grid (batch) and the query → aligned batched gather
+    shared = [n for n in kept.names if n in out_dims]
+    kept_rest = kept.without(shared)
+    gt = grid_p._transposed(tuple(shared) + tuple(dims) + kept_rest.names)
+    shared_sizes = [kept.get_size(n) for n in shared]
+    spatial_vol = int(np.prod(p_sizes))
+    flat_grid = gt.native().reshape((int(np.prod(shared_sizes)) * spatial_vol if shared else spatial_vol,)
+                                    + tuple(kept_rest.sizes))
     coords_native = coordinates.native(out_dims.names + (ch.name,))  # (..., d)
-    # reorder coordinate channels to match dims order
     labels = ch.labels[0]
     if labels and tuple(labels) != tuple(dims):
         perm = [labels.index(n) for n in dims]
         coords_native = coords_native[..., perm]
     lo, frac = _linear_weights_and_indices(coords_native, p_sizes, periodic)
+    # linear offset from shared batch dims
+    shared_lin = None
+    out_sizes = tuple(out_dims.sizes)
+    for n, size in zip(shared, shared_sizes):
+        axis = out_dims.index(n)
+        iota = jax.lax.broadcasted_iota(jnp.int32, out_sizes, axis)
+        shared_lin = iota if shared_lin is None else shared_lin * size + iota
     result = None
     for corner in itertools.product((0, 1), repeat=d):
         idx = None
@@ -77,11 +88,13 @@ def _grid_sample_xla(grid: Tensor, coordinates: Tensor, extrap: Optional[Extrapo
             idx = ik if idx is None else idx * p_sizes[k] + ik
             wk = frac[..., k] if corner[k] else 1.0 - frac[..., k]
             w = wk if w is None else w * wk
-        vals = jnp.take(flat_grid, idx.reshape(-1), axis=0).reshape(idx.shape + tuple(kept.sizes))
-        w = w.reshape(w.shape + (1,) * kept.rank)
+        if shared_lin is not None:
+            idx = jnp.broadcast_to(idx, out_sizes) + shared_lin * spatial_vol
+        vals = jnp.take(flat_grid, idx.reshape(-1), axis=0).reshape(idx.shape + tuple(kept_rest.sizes))
+        w = w.reshape(w.shape + (1,) * kept_rest.rank)
         contrib = vals * w.astype(vals.dtype)
         result = contrib if result is None else result + contrib
-    return Tensor(result, concat_shapes(out_dims, kept))
+    return Tensor(result, concat_shapes(out_dims, kept_rest))
 
 
 def _side_periodic(extrap, dim) -> bool:
@@ -113,14 +126,25 @@ def _closest_grid_values(grid: Tensor, coordinates: Tensor, extrap: Extrapolatio
     p_sizes = [grid_p.shape.get_size(n) for n in dims]
     kept = grid_p.shape.without(dims)
     out_dims = coordinates.shape.without(ch.name)
-    gt = grid_p._transposed(tuple(dims) + kept.names)
-    flat_grid = gt.native().reshape((int(np.prod(p_sizes)),) + tuple(kept.sizes))
+    shared = [n for n in kept.names if n in out_dims]
+    kept_rest = kept.without(shared)
+    shared_sizes = [kept.get_size(n) for n in shared]
+    spatial_vol = int(np.prod(p_sizes))
+    gt = grid_p._transposed(tuple(shared) + tuple(dims) + kept_rest.names)
+    flat_grid = gt.native().reshape((int(np.prod(shared_sizes)) * spatial_vol if shared else spatial_vol,)
+                                    + tuple(kept_rest.sizes))
     coords_native = coordinates.native(out_dims.names + (ch.name,))
     labels = ch.labels[0]
     if labels and tuple(labels) != tuple(dims):
         perm = [labels.index(n) for n in dims]
         coords_native = coords_native[..., perm]
     lo = jnp.floor(coords_native).astype(jnp.int32)
+    out_sizes = tuple(out_dims.sizes)
+    shared_lin = None
+    for n, size in zip(shared, shared_sizes):
+        axis = out_dims.index(n)
+        iota = jax.lax.broadcasted_iota(jnp.int32, out_sizes, axis)
+        shared_lin = iota if shared_lin is None else shared_lin * size + iota
     corner_results = {}
     for corner in itertools.product((0, 1), repeat=d):
         idx = None
@@ -128,8 +152,10 @@ def _closest_grid_values(grid: Tensor, coordinates: Tensor, extrap: Extrapolatio
             ik = lo[..., k] + corner[k] + offsets[k]
             ik = ik % p_sizes[k] if periodic[k] else jnp.clip(ik, 0, p_sizes[k] - 1)
             idx = ik if idx is None else idx * p_sizes[k] + ik
-        vals = jnp.take(flat_grid, idx.reshape(-1), axis=0).reshape(idx.shape + tuple(kept.sizes))
-        corner_results[corner] = Tensor(vals, concat_shapes(out_dims, kept))
+        if shared_lin is not None:
+            idx = jnp.broadcast_to(idx, out_sizes) + shared_lin * spatial_vol
+        vals = jnp.take(flat_grid, idx.reshape(-1), axis=0).reshape(idx.shape + tuple(kept_rest.sizes))
+        corner_results[corner] = Tensor(vals, concat_shapes(out_dims, kept_rest))
     # stack into closest_<dim> dims
     def build(prefix_corner):
         if len(prefix_corner) == d:
