@@ -398,8 +398,8 @@ class Field:
                 if ch.rank == 1 and ch.volume == len(other):
                     other = wrap(list(other), ch)
                 else:
-                    # scalar field × vector constant → vector field labeled by spatial dims
-                    labels = self.resolution.names
+                    # scalar field × vector constant → vector field labeled by physical axes
+                    labels = self._geometry.shape.get_labels('vector') or self.resolution.names
                     assert len(other) == len(labels), f"vector constant {other} does not match dims {labels}"
                     other = wrap(list(other), channel(vector=labels))
             else:

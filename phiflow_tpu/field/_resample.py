@@ -343,13 +343,12 @@ def _scatter_to_centered(value: Field, grid: UniformGrid, scatter: bool, outside
         assert isinstance(grid, UniformGrid)
         points = value.points
         idx = grid.voxel_at(points, clamp=(outside_handling == 'clamp'))
-        # unwritten cells default to the boundary value (NaN for FLIP free-surface grids,
-        # reference: _distribute_points default extrapolation=NAN)
-        default = 0.
-        if isinstance(extrap, ConstantExtrapolation) and extrap.value.available \
-                and np.isnan(np.asarray(extrap.value.native())).any():
-            default = float('nan')
-        base = ops.zeros(grid.resolution & value.values.shape.non_instance.non_spatial) + default
+        # unwritten cells default to the PARTICLE field's boundary value — NaN for
+        # FLIP free-surface grids (reference: grid_scatter, _resample.py:236-238
+        # `base += data.boundary.value`; distribute_points default extrapolation=NAN)
+        base = ops.zeros(grid.resolution & value.values.shape.non_instance.non_spatial)
+        if isinstance(value.boundary, ConstantExtrapolation):
+            base = base + value.boundary.value
         result = ops.scatter(base, idx, value.values, mode='mean', outside_handling=outside_handling)
         return result
     # overlap-based (no scatter): accumulate fraction-weighted values per cell

@@ -119,19 +119,20 @@ class BaseBox(Geometry):
         return sgn_dist, delta, normal, None, None
 
     def push(self, positions: Tensor, outward: bool = True, shift_amount: float = 0) -> Tensor:
-        """Axis-wise box push (exact for boxes; faster than SDF walk)."""
-        from ..math import where, minimum as mn, maximum as mx
+        """Axis-wise box push: only particles violating the geometry are moved
+        (reference semantics: phi/geom/_box.py:271-286)."""
+        from ..math import where
+        loc_to_center = positions - self.center
+        sgn_dist = abs(loc_to_center) - self.half_size  # per-axis signed distance
         if outward:
-            # move points inside the box to the closest face, plus margin
-            sdf = self.approximate_signed_distance(positions)
-            inside = sdf < shift_amount
-            _, delta, normal, _, _ = self.approximate_closest_surface(positions)
-            shifted = positions + delta + normal * shift_amount
-            return where(inside, shifted, positions)
+            # particles inside (all components < 0): push out along the closest axis
+            closest = (sgn_dist >= ops.max_(sgn_dist, 'vector') - 1e-12) & (sgn_dist < 0)
+            shift = ops.to_float(closest) * (sgn_dist - shift_amount)
         else:
-            # clamp into the box with margin
-            clamped = mn(mx(positions, self.lower + shift_amount), self.upper - shift_amount)
-            return clamped
+            # particles outside (component > 0): pull in by dist + margin, at most to center
+            shift = (sgn_dist + shift_amount) * ops.to_float(sgn_dist > 0)
+            shift = where(abs(shift) > abs(loc_to_center), abs(loc_to_center), shift)
+        return positions + where(loc_to_center < 0, 1., -1.) * shift
 
     def sample_uniform(self, *shape: Shape) -> Tensor:
         uniform = ops.random_uniform(*shape, channel(vector=self.shape.get_labels('vector')))
