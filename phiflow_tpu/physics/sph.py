@@ -1,0 +1,155 @@
+"""Smoothed Particle Hydrodynamics: neighbor search + kernel evaluation
+(reference: /root/reference/phi/physics/sph.py, SURVEY.md §2.4).
+
+TPU-native: neighborhoods are dense masked (N×Ñ) tensors (VPU-friendly), not
+sparse matrices; kernels evaluate as fused elementwise expressions.
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence, Union
+
+import numpy as np
+
+from ..math import Tensor, PI, wrap, channel, dual, instance, stack, concat, expand, rename_dims
+from ..math import _ops as ops
+from ..geom import Geometry, Box, Sphere
+from ..geom._graph import Graph
+
+__all__ = ['neighbor_graph', 'evaluate_kernel', 'expected_neighbors']
+
+_DEFAULT_DESIRED_NEIGHBORS = {
+    'quintic-spline': 34,
+    'wendland-c2': 22,
+    'poly6': 30,
+}
+
+
+def neighbor_graph(nodes: Geometry,
+                   kernel: str,
+                   boundary: Dict = None,
+                   desired_neighbors: float = None,
+                   compute: str = 'kernel,grad',
+                   format='dense',
+                   search_method='auto',
+                   domain: Box = None,
+                   periodic: Union[bool, Tensor] = False) -> Graph:
+    """Build a Graph of particle neighborhoods with kernel values on the edges
+    (reference: phi/physics/sph.py:23-71)."""
+    assert isinstance(nodes, Geometry), f"nodes must be a Geometry, got {type(nodes)}"
+    boundary = {} if boundary is None else boundary
+    desired_neighbors = _DEFAULT_DESIRED_NEIGHBORS[kernel] if desired_neighbors is None else desired_neighbors
+    # --- support radius from desired neighbor count (reference :71-86) ---
+    avg_volume = ops.mean(nodes.volume, nodes.shape.instance) if nodes.shape.instance else nodes.volume
+    support = Sphere.radius_from_volume(avg_volume * desired_neighbors, nodes.spatial_rank)
+    # --- dense neighbor search ---
+    dom = (domain.lower, domain.upper) if domain is not None else None
+    deltas = ops.pairwise_differences(nodes.center, max_distance=None, format=format,
+                                      method=search_method, domain=dom, periodic=periodic, default=0.)
+    dist2 = ops.vec_squared(deltas)
+    mask = (dist2 < support ** 2) & (dist2 > 1e-12)  # excludes the self-pair exactly
+    deltas = deltas * ops.to_float(mask)
+    distances = ops.sqrt(dist2) * ops.to_float(mask)
+    # --- evaluate kernel on edges ---
+    compute_list = [s.strip() for s in compute.split(',') if s.strip()]
+    if compute_list:
+        values = evaluate_kernel(deltas, distances, support, nodes.spatial_rank, kernel, types=compute_list)
+        parts = []
+        for k, v in values.items():
+            v = v * ops.to_float(mask) if 'vector' not in v.shape else v * ops.to_float(mask)
+            if 'vector' not in v.shape:
+                v = expand(v, channel(vector=[k]))
+            else:
+                v = rename_dims(v, 'vector', channel(vector=[f"{k}_{l}" for l in v.shape.get_labels('vector')]))
+            parts.append(v)
+        edges = concat(parts, 'vector')
+    else:
+        edges = ops.safe_div(ops.to_float(mask), distances)
+    return Graph(nodes, edges, boundary, deltas=deltas, distances=distances, bounding_distance=support)
+
+
+def expected_neighbors(volume: Tensor, support_radius, spatial_rank: int):
+    """Average neighbor count for given particle volume and support radius
+    (reference: phi/physics/sph.py:86-99)."""
+    return Sphere.volume_from_radius(support_radius, spatial_rank) / volume
+
+
+def evaluate_kernel(delta, distance, h, spatial_rank: int, kernel: str,
+                    types: Sequence[str] = ('kernel',)) -> Dict[str, Tensor]:
+    """Evaluate an SPH kernel and/or its derivatives at distances `distance`
+    with support (cutoff) radius `h` (reference: phi/physics/sph.py:101-160).
+
+    Supported kernels: 'quintic-spline', 'wendland-c2', 'poly6'.
+    Returns a dict with keys from `types` ⊂ {'kernel','grad','laplace'};
+    'grad' is the vector ∇W = dW/dr · δ/r.
+    """
+    d = spatial_rank
+    r = distance
+    result = {}
+    if kernel == 'poly6':
+        # W = C (h²−r²)³, C₂D = 4/(π h⁸), C₃D = 315/(64 π h⁹)
+        if d == 2:
+            c = 4 / (PI * h ** 8)
+        elif d == 3:
+            c = 315 / (64 * PI * h ** 9)
+        else:
+            raise NotImplementedError(f"poly6 in {d}D")
+        r2 = ops.vec_squared(delta) if hasattr(delta, 'shape') and 'vector' in delta.shape else r ** 2
+        diff = ops.maximum(h ** 2 - r2, 0.)
+        if 'kernel' in types:
+            result['kernel'] = c * diff ** 3
+        if 'grad' in types:
+            # ∇W = −6C (h²−r²)² δ
+            result['grad'] = (-6 * c) * diff ** 2 * delta
+        if 'laplace' in types:
+            # ΔW = 6C (h²−r²)(4r²−(d)(h²−r²))  — radial laplacian in d dims
+            result['laplace'] = 6 * c * diff * (4 * r2 - d * diff)
+        return result
+    if kernel == 'wendland-c2':
+        # W = C (1−q)⁴ (4q+1), q = r/h; C₂D = 7/(π h²), C₃D = 21/(2 π h³)
+        q = ops.clip(r / h, 0., 1.)
+        if d == 2:
+            c = 7 / (PI * h ** 2)
+        elif d == 3:
+            c = 21 / (2 * PI * h ** 3)
+        else:
+            raise NotImplementedError(f"wendland-c2 in {d}D")
+        omq = (1 - q)
+        if 'kernel' in types:
+            result['kernel'] = c * omq ** 4 * (4 * q + 1)
+        if 'grad' in types:
+            # dW/dr = −20 C q (1−q)³ / h ;  ∇W = dW/dr · δ/r
+            dwdr = (-20 * c / h) * q * omq ** 3
+            result['grad'] = ops.safe_div(dwdr, r) * delta
+        if 'laplace' in types:
+            # d²W/dr² + (d−1)/r dW/dr
+            d2 = (20 * c / h ** 2) * omq ** 2 * (4 * q - 1)
+            dwdr = (-20 * c / h) * q * omq ** 3
+            result['laplace'] = d2 + (d - 1) * ops.safe_div(dwdr, r)
+        return result
+    if kernel == 'quintic-spline':
+        # B-spline of degree 5 with smoothing length h̃ = h/3 (support = 3h̃ = h)
+        ht = h / 3
+        s = ops.clip(r / ht, 0., 3.)
+        if d == 1:
+            sigma = 1 / (120 * ht)
+        elif d == 2:
+            sigma = 7 / (478 * PI * ht ** 2)
+        elif d == 3:
+            sigma = 1 / (120 * PI * ht ** 3)
+        else:
+            raise NotImplementedError(f"quintic-spline in {d}D")
+        t3 = ops.maximum(3 - s, 0.)
+        t2 = ops.maximum(2 - s, 0.)
+        t1 = ops.maximum(1 - s, 0.)
+        if 'kernel' in types:
+            result['kernel'] = sigma * (t3 ** 5 - 6 * t2 ** 5 + 15 * t1 ** 5)
+        if 'grad' in types:
+            dwds = sigma * (-5) * (t3 ** 4 - 6 * t2 ** 4 + 15 * t1 ** 4)
+            dwdr = dwds / ht
+            result['grad'] = ops.safe_div(dwdr, r) * delta
+        if 'laplace' in types:
+            d2wds2 = sigma * 20 * (t3 ** 3 - 6 * t2 ** 3 + 15 * t1 ** 3)
+            dwds = sigma * (-5) * (t3 ** 4 - 6 * t2 ** 4 + 15 * t1 ** 4)
+            result['laplace'] = d2wds2 / ht ** 2 + (d - 1) * ops.safe_div(dwds / ht, r)
+        return result
+    raise ValueError(f"unknown SPH kernel {kernel!r}")

@@ -1,0 +1,114 @@
+"""Plot/show public API (reference: /root/reference/phi/vis/_vis.py:24-560)."""
+from __future__ import annotations
+
+import os
+from typing import Union
+
+import numpy as np
+
+from ..math import Tensor, Shape, batch, shape as shape_of, wrap
+from ..field import Field
+from ..geom import Geometry
+from ._vis_base import Control, Action, display_name
+from ._matplotlib_plots import MATPLOTLIB
+
+__all__ = ['plot', 'show', 'close', 'control', 'action', 'overlay', 'write_image', 'plot_scalars', 'smooth']
+
+_CONTROLS: list = []
+_ACTIONS: list = []
+
+
+def plot(*fields, lib=None, row_dims=None, col_dims=None, animate=None, overlay=None,
+         title=None, size=(12, 5), same_scale=True, show_color_bar=True, **kwargs):
+    """Create a figure for Fields/Tensors/Geometries
+    (reference: phi/vis/_vis.py:175). Returns (figure, axes)."""
+    lib = lib or MATPLOTLIB
+    items = []
+    for f in fields:
+        if isinstance(f, dict):
+            items.extend(f.items())
+        elif isinstance(f, (tuple, list)):
+            items.extend((None, x) for x in f)
+        else:
+            items.append((None, f))
+    n = len(items)
+    cols = min(n, 3)
+    rows = (n + cols - 1) // cols
+    figure, axes = lib.create_figure(size, rows, cols)
+    for i, (name, data) in enumerate(items):
+        axis = axes[(i // cols, i % cols)]
+        lib.plot(data, figure, axis, None, **kwargs)
+        if name:
+            axis.set_title(display_name(name))
+        elif title:
+            axis.set_title(title if isinstance(title, str) else str(title))
+    lib.finalize(figure)
+    return figure
+
+
+def show(*fields, **kwargs):
+    """Plot and display (reference: phi/vis/_vis.py:24)."""
+    if fields and not isinstance(fields[0], (Field, Tensor, Geometry, dict, tuple, list)):
+        raise ValueError(f"show() cannot display {type(fields[0])}")
+    figure = plot(*fields, **kwargs)
+    MATPLOTLIB.show(figure)
+    return figure
+
+
+def close(figure=None):
+    import matplotlib.pyplot as plt
+    plt.close(figure[0] if isinstance(figure, tuple) else figure)
+
+
+def write_image(path: str, figure=None, dpi=120., close_figure=False, transparent=True):
+    """Save a figure to an image file (reference: phi/vis/_vis.py:465)."""
+    if figure is None:
+        import matplotlib.pyplot as plt
+        figure = plt.gcf()
+    MATPLOTLIB.save(figure, os.path.expanduser(path), dpi=dpi, transparent=transparent)
+
+
+def control(value, range_=None, description="", **kwargs):
+    """Declare a UI-controllable value (reference: phi/vis/_vis.py:120)."""
+    ctrl = Control(name=f"control{len(_CONTROLS)}", control_type=type(value), initial=value,
+                   value_range=range_, description=description, kwargs=kwargs)
+    _CONTROLS.append(ctrl)
+    return value
+
+
+def action(fn):
+    """Register a UI-triggerable action (reference: phi/vis/_vis.py:157)."""
+    act = Action(fn.__name__, fn, fn.__doc__ or "")
+    _ACTIONS.append(act)
+    return fn
+
+
+def overlay(*fields):
+    """Mark fields to be plotted into the same axis (reference: phi/vis/_vis.py:449)."""
+    return ('__overlay__', fields)
+
+
+def plot_scalars(curves: dict, size=(8, 4)):
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=size)
+    for name, values in curves.items():
+        arr = np.asarray(values.native() if isinstance(values, Tensor) else values)
+        if arr.ndim == 2:
+            ax.plot(arr[:, 0], arr[:, 1], label=name)
+        else:
+            ax.plot(arr, label=name)
+    ax.legend()
+    return fig
+
+
+def smooth(curve, n: int = 10):
+    """Moving-average smoothing of a curve (reference: phi/vis/_plot_util.py)."""
+    arr = np.asarray(curve.native() if isinstance(curve, Tensor) else curve, np.float64)
+    if n <= 1:
+        return curve
+    kernel = np.ones(n) / n
+    if arr.ndim == 2:
+        sm = arr.copy()
+        sm[:, 1] = np.convolve(arr[:, 1], kernel, mode='same')
+        return sm
+    return np.convolve(arr, kernel, mode='same')

@@ -1,0 +1,77 @@
+"""Plotting smoke tests (reference strategy: tests/commit/vis/test__plots.py —
+every recipe, asserting figure creation)."""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import phiflow_tpu.math as math
+from phiflow_tpu.math import extrapolation, instance, wrap
+from phiflow_tpu.geom import Box, Sphere
+from phiflow_tpu.field import CenteredGrid, StaggeredGrid, Noise, PointCloud
+from phiflow_tpu.vis import plot, write_image, smooth
+from phiflow_tpu.vis._console import heatmap, quiver
+
+
+def test_plot_heatmap():
+    g = CenteredGrid(Noise(), extrapolation.PERIODIC, x=16, y=16)
+    fig = plot(g)
+    assert fig is not None
+
+
+def test_plot_vector_and_staggered():
+    v = StaggeredGrid(Noise(vector='x,y'), extrapolation.PERIODIC, x=16, y=16)
+    fig = plot(v)
+    assert fig is not None
+    vc = CenteredGrid(Noise(vector='x,y'), extrapolation.PERIODIC, x=16, y=16)
+    assert plot(vc) is not None
+
+
+def test_plot_point_cloud_and_geometry():
+    pts = math.vec(x=wrap([1., 2.], instance(points=2)), y=wrap([3., 4.], instance(points=2)))
+    pc = PointCloud(pts)
+    assert plot(pc) is not None
+    assert plot(Sphere(x=1, y=1, radius=0.5)) is not None
+    assert plot(Box(x=2, y=2)) is not None
+
+
+def test_plot_1d():
+    g = CenteredGrid(lambda pos: math.sin(pos.vector['x']), extrapolation.PERIODIC, x=32, bounds=Box(x=6.28))
+    assert plot(g) is not None
+
+
+def test_plot_dict_and_save():
+    g = CenteredGrid(Noise(), extrapolation.PERIODIC, x=8, y=8)
+    fig = plot({'noise': g, 'same': g})
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, 'fig.png')
+        write_image(path, fig)
+        assert os.path.isfile(path)
+
+
+def test_console_plots():
+    g = CenteredGrid(Noise(), extrapolation.PERIODIC, x=16, y=16)
+    art = heatmap(g)
+    assert len(art.splitlines()) >= 10
+    v = StaggeredGrid(Noise(vector='x,y'), extrapolation.PERIODIC, x=16, y=16)
+    arrows = quiver(v)
+    assert len(arrows.splitlines()) >= 5
+
+
+def test_scene_logging():
+    from phiflow_tpu.field import Scene
+    from phiflow_tpu.vis import SceneLog, load_scalars
+    with tempfile.TemporaryDirectory() as d:
+        scene = Scene.create(d)
+        log = SceneLog(scene)
+        for i in range(5):
+            log.log_scalars(i, energy=float(i) ** 2)
+        curve = load_scalars(scene, 'energy')
+        assert curve.shape.get_size('iteration') == 5
+
+
+def test_smooth():
+    data = np.random.randn(100).astype(np.float32)
+    sm = smooth(wrap(data, math.spatial('t')), 10)
+    assert np.std(sm) < np.std(data)
