@@ -931,6 +931,8 @@ def native_call(f, *inputs, channels_last=True, channel_dim='vector', spatial_di
             order = b.names + ch.names + sp.names
         n = i.native(order)
         n = n.reshape((b.volume if b else 1,) + n.shape[len(b.names):])
+        if not ch:  # scalar fields get a singleton channel axis (NHWC expected by nets)
+            n = n[..., None] if channels_last else n.reshape((n.shape[0], 1) + n.shape[1:])
         natives.append(n)
     result = f(*natives)
     rs = np.shape(result)
