@@ -40,6 +40,10 @@ try:
 except ImportError:
     pass
 try:
+    from ._convert import as_sdf, surface_mesh
+except ImportError:
+    pass
+try:
     from ._functions import (
         cross, clip_length, normal_from_slope, plane_sgn_dist,
         closest_on_triangle, closest_points_on_lines, distance_line_point,

@@ -879,8 +879,13 @@ def rotate_vector(v: Tensor, angle, invert=False) -> Tensor:
 
 
 def dim_mask(all_dims: Shape, dims: DimFilter, mask_dim=channel('vector')) -> Tensor:
-    names = _resolve_filter(dims, all_dims)
-    all_names = all_dims.spatial.names if all_dims.spatial else all_dims.names
+    if all_dims.rank == 1 and all_dims.dims[0].labels:
+        all_names = all_dims.dims[0].labels  # labeled vector dim: mask over its labels
+    elif all_dims.spatial:
+        all_names = all_dims.spatial.names
+    else:
+        all_names = all_dims.names
+    names = parse_dim_order(dims) if not callable(dims) or isinstance(dims, Shape) else dims(all_dims).names
     vals = [1.0 if n in names else 0.0 for n in all_names]
     d = mask_dim.dims[0].with_size(len(all_names), all_names)
     return Tensor(jnp.asarray(vals, default_float()), Shape((d,)))

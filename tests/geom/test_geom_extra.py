@@ -1,0 +1,104 @@
+"""Tests for the extended geometry families (Cylinder, SDF, SDFGrid, Voxels,
+Heightmap, embed, line_trace, triangle math)."""
+import numpy as np
+import pytest
+
+import phiflow_tpu.math as math
+from phiflow_tpu.math import spatial, channel, instance, wrap, extrapolation
+from phiflow_tpu.geom import (
+    Box, Sphere, Cylinder, cylinder, SDF, numpy_sdf, SDFGrid, sample_sdf, Voxels, Heightmap,
+    embed, infinite_cylinder, as_sdf, line_trace,
+)
+from phiflow_tpu.geom._functions import closest_on_triangle, plane_sgn_dist, clip_length, normal_from_slope
+
+
+def test_cylinder():
+    c = cylinder(x=0, y=0, z=0, radius=1., depth=2., axis='z')
+    assert abs(float(c.volume) - np.pi * 2) < 1e-4
+    assert bool(c.lies_inside(math.vec(x=0., y=0., z=0.9)))
+    assert not bool(c.lies_inside(math.vec(x=0., y=0., z=1.1)))
+    assert abs(float(c.approximate_signed_distance(math.vec(x=2., y=0., z=0.))) - 1.0) < 1e-5
+    # rotated about x by 90°: depth now along y
+    c2 = c.rotated(math.vec(x=np.pi / 2, y=0., z=0.))
+    assert bool(c2.lies_inside(math.vec(x=0., y=0.9, z=0.)))
+
+
+def test_sdf():
+    s = SDF(lambda loc: math.vec_length(loc) - 1., Box(x=(-2, 2), y=(-2, 2)))
+    assert bool(s.lies_inside(math.vec(x=0.5, y=0.)))
+    d, delta, normal, _, _ = s.approximate_closest_surface(math.vec(x=2., y=0.))
+    assert abs(float(d) - 1.0) < 1e-5
+    assert abs(float(normal.vector['x']) - 1.0) < 1e-3
+
+
+def test_numpy_sdf():
+    s = numpy_sdf(lambda pts: np.linalg.norm(pts, axis=-1) - 1., Box(x=(-2, 2), y=(-2, 2)))
+    pts = math.vec(x=wrap([0., 2.], instance(p=2)), y=wrap([0., 0.], instance(p=2)))
+    d = s.approximate_signed_distance(pts)
+    assert np.allclose(d.numpy('p'), [-1., 1.], atol=1e-5)
+
+
+def test_sdf_grid():
+    sphere = Sphere(x=0, y=0, radius=1)
+    grid = sample_sdf(sphere, Box(x=(-2, 2), y=(-2, 2)), x=64, y=64)
+    assert bool(grid.lies_inside(math.vec(x=0., y=0.)))
+    assert abs(float(grid.approximate_signed_distance(math.vec(x=1.5, y=0.))) - 0.5) < 0.05
+    assert abs(float(grid.volume) - np.pi) < 0.3
+
+
+def test_voxels():
+    from phiflow_tpu.field import CenteredGrid
+    mask = CenteredGrid(Sphere(x=2, y=2, radius=1.2), 0., x=4, y=4, bounds=Box(x=4, y=4))
+    vox = Voxels.from_mask(mask)
+    assert vox.voxel_count >= 4
+    assert bool(vox.lies_inside(math.vec(x=2., y=2.)))
+
+
+def test_heightmap():
+    h = wrap(np.ones(8, np.float32) * 2.0, spatial('x'))
+    terrain = Heightmap(h, Box(x=8, y=8))
+    assert bool(terrain.lies_inside(math.vec(x=4., y=1.)))
+    assert not bool(terrain.lies_inside(math.vec(x=4., y=3.)))
+    assert abs(float(terrain.approximate_signed_distance(math.vec(x=4., y=3.))) - 1.0) < 1e-5
+
+
+def test_embed():
+    inf_cyl = infinite_cylinder(x=0, y=0, radius=1., inf_dim='z')
+    assert bool(inf_cyl.lies_inside(math.vec(x=0., y=0., z=100.)))
+    assert not bool(inf_cyl.lies_inside(math.vec(x=2., y=0., z=0.)))
+
+
+def test_as_sdf():
+    s = as_sdf(Sphere(x=0, y=0, radius=1))
+    assert abs(float(s.approximate_signed_distance(math.vec(x=2., y=0.))) - 1.0) < 1e-5
+
+
+def test_line_trace():
+    sphere = Sphere(x=5, y=0, radius=1)
+    hit, t, pos, normal, _ = line_trace(sphere, math.vec(x=0., y=0.), math.vec(x=1., y=0.))
+    assert bool(hit)
+    assert abs(float(t) - 4.0) < 0.05
+    assert abs(float(pos.vector['x']) - 4.0) < 0.05
+
+
+def test_closest_on_triangle():
+    A = math.vec(x=0., y=0., z=0.)
+    B = math.vec(x=1., y=0., z=0.)
+    C = math.vec(x=0., y=1., z=0.)
+    p = closest_on_triangle(A, B, C, math.vec(x=0.25, y=0.25, z=1.))
+    assert np.allclose(p.numpy('vector'), [0.25, 0.25, 0.], atol=1e-5)
+    p2 = closest_on_triangle(A, B, C, math.vec(x=2., y=-1., z=0.))
+    assert np.allclose(p2.numpy('vector'), [1., 0., 0.], atol=1e-5)
+
+
+def test_plane_and_clip():
+    d = plane_sgn_dist(math.vec(x=0., y=0.), math.vec(x=0., y=1.), math.vec(x=3., y=2.))
+    assert abs(float(d) - 2.0) < 1e-6
+    v = clip_length(math.vec(x=3., y=4.), 0., 1.)
+    assert abs(float(math.vec_length(v)) - 1.0) < 1e-5
+
+
+def test_normal_from_slope():
+    n = normal_from_slope(math.wrap([1.0], channel(vector='x')), 'x,y')
+    assert abs(float(math.vec_length(n)) - 1.0) < 1e-6
+    assert float(n.vector['y']) > 0
