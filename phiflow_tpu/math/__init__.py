@@ -52,6 +52,9 @@ from ._functional import (
 from ._solve import (
     Solve, SolveInfo, SolveTape, solve_linear, solve_nonlinear, minimize, copy_solve,
 )
+from ._sparse import (
+    SparseCooTensor, sparse_tensor, is_sparse, dense, to_format, stored_indices, stored_values,
+)
 
 PI = _np.pi
 INF = _np.inf

@@ -1,0 +1,69 @@
+"""Training-state checkpointing on orbax (beyond the reference: SURVEY.md §5
+notes the reference has no elastic-recovery story; Scene .npz covers simulation
+state, this covers training/optimizer state with atomic, versioned saves)."""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+__all__ = ['CheckpointManager', 'save_checkpoint', 'load_checkpoint']
+
+
+def _to_saveable(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    """Versioned checkpoints: keeps the latest `max_to_keep` steps."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+        self.directory = os.path.abspath(os.path.expanduser(directory))
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory, options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+
+    def save(self, step: int, state: Any):
+        import orbax.checkpoint as ocp
+        self._mgr.save(step, args=ocp.args.StandardSave(_to_saveable(state)))
+        self._mgr.wait_until_finished()
+
+    def restore(self, step: Optional[int] = None, template: Any = None):
+        import orbax.checkpoint as ocp
+        step = step if step is not None else self._mgr.latest_step()
+        assert step is not None, f"no checkpoints in {self.directory}"
+        if template is not None:
+            return self._mgr.restore(step, args=ocp.args.StandardRestore(_to_saveable(template)))
+        return self._mgr.restore(step)
+
+    @property
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def all_steps(self):
+        return self._mgr.all_steps()
+
+
+def save_checkpoint(path: str, state: Any):
+    """One-shot checkpoint save (pytree of arrays/Tensors/Fields)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.expanduser(path))
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, _to_saveable(state), force=True)
+    ckpt.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, template: Any = None):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.expanduser(path))
+    ckpt = ocp.StandardCheckpointer()
+    if template is not None:
+        try:
+            return ckpt.restore(path, ocp.args.StandardRestore(_to_saveable(template)))
+        except TypeError:
+            return ckpt.restore(path)
+    return ckpt.restore(path)

@@ -1,0 +1,45 @@
+import numpy as np
+
+import phiflow_tpu.math as math
+from phiflow_tpu.math import instance, channel, wrap
+from phiflow_tpu.geom._spline import b_spline_knots, eval_nurbs_bases, spline_eval
+from phiflow_tpu.geom._mesh_builder import MeshBuilder, join_meshes, decimate_tri_mesh
+
+
+def test_knots():
+    k = b_spline_knots(4, degree=2)
+    assert len(k) == 7
+    assert k[0] == 0 and k[-1] == 1
+
+
+def test_basis_partition_of_unity():
+    knots = b_spline_knots(5, degree=2)
+    u = wrap(np.linspace(0.01, 0.99, 17).astype(np.float32), math.spatial('u'))
+    bases = eval_nurbs_bases(u, knots, degree=2, control_count=5)
+    total = math.sum(bases, 'basis')
+    assert np.allclose(total.numpy('u'), 1.0, atol=1e-5)
+
+
+def test_spline_eval_endpoints():
+    pts = wrap(np.array([[0., 0.], [1., 2.], [2., 0.]], np.float32),
+               instance(points=3), channel(vector='x,y'))
+    start = spline_eval(pts, wrap(0.))
+    end = spline_eval(pts, wrap(1.))
+    assert np.allclose(start.numpy('vector'), [0., 0.], atol=1e-5)
+    assert np.allclose(end.numpy('vector'), [2., 0.], atol=1e-5)
+
+
+def test_mesh_builder():
+    b = MeshBuilder()
+    b.add_polygon((0., 0.), (1., 0.), (1., 1.), (0., 1.))
+    b.add_polygon((1., 0.), (2., 0.), (2., 1.), (1., 1.))
+    m = b.build()
+    assert m.cell_count == 2
+    assert abs(float(math.sum(m.volume)) - 2.0) < 1e-5
+
+
+def test_decimate():
+    verts = np.random.rand(100, 3).astype(np.float32)
+    faces = np.random.randint(0, 100, (50, 3)).astype(np.int32)
+    v2, f2 = decimate_tri_mesh(verts, faces, 0.3)
+    assert len(v2) < len(verts)

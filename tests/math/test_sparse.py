@@ -1,0 +1,48 @@
+import numpy as np
+
+import phiflow_tpu.math as math
+from phiflow_tpu.math import (
+    sparse_tensor, is_sparse, dense, to_format, stored_indices, stored_values,
+    instance, channel, dual, spatial, wrap,
+)
+
+
+def _coo():
+    idx = wrap(np.array([[0, 1], [1, 0], [2, 2]], np.int32), instance(entries=3),
+               channel(sparse_idx=['rows', '~rows']))
+    vals = wrap(np.array([2., 3., 4.], np.float32), instance(entries=3))
+    shape = instance(rows=3) & dual(rows=3)
+    return sparse_tensor(idx, vals, shape)
+
+
+def test_create_and_densify():
+    m = _coo()
+    assert is_sparse(m)
+    d = dense(m)
+    arr = d.numpy(('rows', '~rows'))
+    expected = np.zeros((3, 3), np.float32)
+    expected[0, 1], expected[1, 0], expected[2, 2] = 2, 3, 4
+    assert np.allclose(arr, expected)
+
+
+def test_matmul():
+    m = _coo()
+    v = wrap(np.array([1., 10., 100.], np.float32), instance(rows=3))
+    out = m @ v
+    assert np.allclose(out.numpy('rows'), [20., 3., 400.])
+
+
+def test_roundtrip_format():
+    m = _coo()
+    d = dense(m)
+    s = to_format(d, 'coo')
+    assert is_sparse(s)
+    assert np.allclose(dense(s).numpy(('rows', '~rows')), d.numpy(('rows', '~rows')))
+    assert stored_values(s).shape.get_size('entries') == 3
+    assert 'index' in stored_indices(s).shape
+
+
+def test_scalar_ops():
+    m = _coo()
+    m2 = m * 2
+    assert np.allclose(dense(m2).numpy(('rows', '~rows')), 2 * dense(m).numpy(('rows', '~rows')))
