@@ -48,22 +48,31 @@ class CheckpointManager:
 
 
 def save_checkpoint(path: str, state: Any):
-    """One-shot checkpoint save (pytree of arrays/Tensors/Fields)."""
-    import orbax.checkpoint as ocp
+    """One-shot checkpoint save of an arbitrary pytree (atomic: tmp + rename)."""
+    import pickle
     path = os.path.abspath(os.path.expanduser(path))
-    ckpt = ocp.StandardCheckpointer()
-    ckpt.save(path, _to_saveable(state), force=True)
-    ckpt.wait_until_finished()
+    if not path.endswith('.pkl'):
+        path += '.pkl'
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    leaves, treedef = jax.tree_util.tree_flatten(_to_saveable(state))
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        pickle.dump({'leaves': leaves, 'treedef_repr': str(treedef)}, f)
+    os.replace(tmp, path)
     return path
 
 
 def load_checkpoint(path: str, template: Any = None):
-    import orbax.checkpoint as ocp
+    """Restore a pytree saved by `save_checkpoint`. `template` supplies the tree
+    structure (required for custom pytree nodes)."""
+    import pickle
     path = os.path.abspath(os.path.expanduser(path))
-    ckpt = ocp.StandardCheckpointer()
+    if not path.endswith('.pkl'):
+        path += '.pkl'
+    with open(path, 'rb') as f:
+        data = pickle.load(f)
+    leaves = data['leaves']
     if template is not None:
-        try:
-            return ckpt.restore(path, ocp.args.StandardRestore(_to_saveable(template)))
-        except TypeError:
-            return ckpt.restore(path)
-    return ckpt.restore(path)
+        treedef = jax.tree_util.tree_structure(template)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+    return leaves
