@@ -552,7 +552,10 @@ def wrap(value, *shape: Shape) -> Tensor:
         if value.dtype == np.int64:
             value = value.astype(np.int32)
     if isinstance(value, (int, float, bool, complex)):
-        native = jnp.asarray(value, dtype=_dtype_for(value))
+        # host (numpy) scalars: they embed into jit traces as inline constants
+        # without a device→host fetch (axon backends cannot fetch some
+        # trace-time device arrays) and avoid device round-trips in eager setup
+        native = np.asarray(value, dtype=_dtype_for(value))
         assert not shape or concat_shapes(*shape).volume in (1,), "scalar with non-scalar shape"
         return Tensor(native, EMPTY_SHAPE)
     if isinstance(value, np.ndarray) or isinstance(value, jax.Array) or hasattr(value, 'shape'):

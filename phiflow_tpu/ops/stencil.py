@@ -77,7 +77,11 @@ def _laplacian_2d_pallas(x: jnp.ndarray, dx2: float, periodic: bool) -> jnp.ndar
     grid = (m // TILE,)
 
     def kernel(xp_ref, out_ref):
-        blk = xp_ref[:]  # (TILE+2, n+2)
+        # input stays whole in VMEM; overlapping (halo) row windows are sliced
+        # in-kernel (BlockSpec index_map counts in block units, so overlapping
+        # windows cannot be expressed as a blocked spec)
+        i = pl.program_id(0)
+        blk = xp_ref[pl.ds(i * TILE, TILE + 2), :]  # (TILE+2, n+2)
         center = blk[1:-1, 1:-1]
         up = blk[2:, 1:-1]
         down = blk[:-2, 1:-1]
@@ -89,9 +93,8 @@ def _laplacian_2d_pallas(x: jnp.ndarray, dx2: float, periodic: bool) -> jnp.ndar
         kernel,
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         grid=grid,
-        in_specs=[pl.BlockSpec((TILE + 2, n + 2), lambda i: (i * TILE, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((TILE, n), lambda i: (i * TILE, 0), memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY if hasattr(pltpu, 'ANY') else pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TILE, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )(xp)
 
 

@@ -16,7 +16,8 @@ def _pallas_interpret_laplacian(x, dx2=1.0, periodic=True):
     TILE = m // 2
 
     def kernel(xp_ref, out_ref):
-        blk = xp_ref[:]
+        i = pl.program_id(0)
+        blk = xp_ref[pl.ds(i * TILE, TILE + 2), :]
         center = blk[1:-1, 1:-1]
         up = blk[2:, 1:-1]
         down = blk[:-2, 1:-1]
@@ -28,8 +29,8 @@ def _pallas_interpret_laplacian(x, dx2=1.0, periodic=True):
         kernel,
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         grid=(m // TILE,),
-        in_specs=[pl.BlockSpec((TILE + 2, n + 2), lambda i: (i * TILE, 0))],
-        out_specs=pl.BlockSpec((TILE, n), lambda i: (i * TILE, 0)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((TILE, n), lambda i: (i, 0)),
         interpret=True,
     )(xp)
 
