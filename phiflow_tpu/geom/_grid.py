@@ -254,11 +254,29 @@ class UniformGrid(Geometry):
 
 
 def _grid_flatten(g: UniformGrid):
-    return (g.bounds,), g.resolution
+    """UniformGrid is fully static under jit (matches the reference semantics:
+    Field.variable_attrs=('values',) — geometry is not traced,
+    /root/reference/phi/field/_field.py:78-81). Static bounds let half-cell
+    alignment checks resolve at trace time so center↔face resampling lowers to
+    pad+average instead of gathers (big TPU win)."""
+    import numpy as np
+    from ..math._static import HashableArray
+    try:
+        lower = np.asarray(g.bounds.lower.native())
+        upper = np.asarray(g.bounds.upper.native())
+        labels = g.bounds.shape.get_labels('vector')
+        return (), (g.resolution, HashableArray(lower), HashableArray(upper), labels)
+    except Exception:  # traced bounds (grid built from traced values): keep dynamic
+        return (g.bounds,), (g.resolution, None, None, None)
 
 
-def _grid_unflatten(resolution, children):
-    return UniformGrid(resolution, children[0])
+def _grid_unflatten(aux, children):
+    resolution, lower, upper, labels = aux
+    if lower is None:
+        return UniformGrid(resolution, children[0])
+    from ..math import wrap, channel
+    bounds = Box(wrap(lower.array, channel(vector=labels)), wrap(upper.array, channel(vector=labels)))
+    return UniformGrid(resolution, bounds)
 
 
 jax.tree_util.register_pytree_node(UniformGrid, _grid_flatten, _grid_unflatten)
