@@ -116,18 +116,68 @@ def points(points_: Union[Field, Geometry, Tensor], velocity: Field, dt: float, 
     return result.geometry if isinstance(points_, Geometry) else result.center
 
 
-def semi_lagrangian(field: Field, velocity: Field, dt: float, integrator=euler) -> Field:
-    """Backtrace + interpolate (reference: advect.py:156) — the gather hot path."""
+def _window_interp_field(field: Field, lookup: Tensor, max_cells: int, extrema=False):
+    """Interpolate `field` at `lookup` points via bounded window shifts
+    (TPU-native gather replacement, see math._nd.shift_window_interp).
+    Returns values, or (values, lim_lo, lim_up) with extrema."""
+    from ..math._nd import shift_window_interp
+    if field.is_staggered:
+        comps, los, ups = [], [], []
+        for dim in field.resolution.names:
+            comp = field.vector[dim]
+            pts = lookup[{'~vector': dim}] if '~vector' in lookup.shape else lookup
+            disp = (pts - comp.geometry.center) / field.dx
+            r = shift_window_interp(comp.values, disp, comp.boundary, max_cells, compute_extrema=extrema)
+            if extrema:
+                comps.append(r[0]); los.append(r[1]); ups.append(r[2])
+            else:
+                comps.append(r)
+        values = stack(comps, dual(vector=field.resolution.names))
+        if extrema:
+            return values, stack(los, dual(vector=field.resolution.names)), stack(ups, dual(vector=field.resolution.names))
+        return values
+    disp = (lookup - field.geometry.center) / field.dx
+    return shift_window_interp(field.values, disp, field.boundary, max_cells, compute_extrema=extrema)
+
+
+def semi_lagrangian(field: Field, velocity: Field, dt: float, integrator=euler,
+                    max_cells: int = 2) -> Field:
+    """Backtrace + interpolate (reference: advect.py:156).
+
+    TPU note: with `max_cells=K` (default 2), the backtrace lookup uses bounded
+    window-shift interpolation — exact whenever the CFL number ≤ K (displacements
+    beyond K cells are clamped). Pass max_cells=None for the reference's global
+    gather semantics (slow on TPU, needed only for CFL > K)."""
     lookup = integrator(field, velocity, -dt)
+    if field.is_grid and max_cells is not None:
+        values = _window_interp_field(field, lookup, max_cells)
+        return field.with_values(values)
     interpolated = reduce_sample(field, lookup)
     return field.with_values(interpolated)
 
 
-def mac_cormack(field: Field, velocity: Field, dt: float, correction_strength=1.0, integrator=euler) -> Field:
-    """MacCormack advection with monotonicity clamp (reference: advect.py:182-215)."""
+def mac_cormack(field: Field, velocity: Field, dt: float, correction_strength=1.0, integrator=euler,
+                max_cells: int = 2) -> Field:
+    """MacCormack advection with monotonicity clamp (reference: advect.py:182-215).
+
+    TPU note: `max_cells` as in `semi_lagrangian` — bounded window-shift
+    interpolation with the 2^d-corner clamp fused into the same window pass."""
     v0 = _sample_velocity(velocity, field)
     points_bwd = integrator(field, velocity, -dt, v0=v0)
     points_fwd = integrator(field, velocity, dt, v0=v0)
+    if field.is_grid and max_cells is not None:
+        fwd_vals, lim_lo, lim_up = _window_interp_field(field, points_bwd, max_cells, extrema=True)
+        fwd_adv = field.with_values(fwd_vals)
+        bwd_vals = _window_interp_field(fwd_adv, points_fwd, max_cells)
+        bwd_adv = fwd_adv.with_values(bwd_vals)
+        new_field = fwd_adv + correction_strength * 0.5 * (field - bwd_adv)
+        if field.is_staggered:
+            comps = []
+            for dim in field.resolution.names:
+                comps.append(ops.clip(new_field.vector[dim].values,
+                                      lim_lo[{'~vector': dim}], lim_up[{'~vector': dim}]))
+            return Field(field.geometry, stack(comps, dual(vector=field.resolution.names)), field.boundary)
+        return new_field.with_values(ops.clip(new_field.values, lim_lo, lim_up))
     fwd_adv = field.with_values(reduce_sample(field, points_bwd))
     bwd_adv = fwd_adv.with_values(reduce_sample(fwd_adv, points_fwd))
     new_field = fwd_adv + correction_strength * 0.5 * (field - bwd_adv)
