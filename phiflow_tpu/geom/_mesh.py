@@ -207,6 +207,31 @@ jax.tree_util.register_pytree_node(Mesh, _mesh_flatten, _mesh_unflatten)
 # construction (host-side NumPy, build time)
 # ---------------------------------------------------------------------------
 
+def _native_face_tables(points: np.ndarray, polygons, boundaries: Dict[str, List[Tuple[int, int]]]):
+    """Dispatch to the C++ face matcher; returns None to use the Python path."""
+    try:
+        from ..native._lib import build_face_tables_2d
+    except ImportError:
+        return None
+    boundary_ids = {name: i for i, name in enumerate(boundaries)}
+    default_id = len(boundary_ids)
+    rows = []
+    for name, edges in boundaries.items():
+        for v0, v1 in edges:
+            rows.append((min(v0, v1), max(v0, v1), boundary_ids[name]))
+    max_verts = max(len(p) for p in polygons)
+    polys = np.full((len(polygons), max_verts), -1, np.int32)
+    for i, p in enumerate(polygons):
+        polys[i, :len(p)] = p
+    result = build_face_tables_2d(points, polys, rows, default_id)
+    if result is None:
+        return None
+    centers, volumes, neighbors, areas, f_centers, normals, distances = result
+    if np.any(neighbors == -(2 + default_id)):
+        boundary_ids['boundary'] = default_id
+    return (boundary_ids, centers, volumes, neighbors, areas, f_centers, normals, distances)
+
+
 def mesh_from_numpy(points: Sequence, polygons: Sequence, boundaries: Dict[str, List[Tuple[int, int]]] = None,
                     element_rank: int = None, periodic=None, cell_dim=instance('cells'),
                     face_format: str = 'dense', axes=('x', 'y', 'z')) -> Mesh:
@@ -219,6 +244,26 @@ def mesh_from_numpy(points: Sequence, polygons: Sequence, boundaries: Dict[str, 
     polygons = [tuple(int(v) for v in poly) for poly in polygons]
     n_cells = len(polygons)
     assert d == 2, "mesh_from_numpy currently supports 2D polygonal meshes (3D in later rounds)"
+    # --- native fast path (C++ face matcher, phiflow_tpu/native/meshbuild.cpp) ---
+    native = _native_face_tables(points, polygons, boundaries or {})
+    if native is not None:
+        boundary_ids, centers, volumes, neighbors, areas, f_centers, normals, distances = native
+        cells = cell_dim.with_size(n_cells)
+        faces_dim = dual(faces=neighbors.shape[1])
+        vec = channel(vector=labels)
+        return Mesh(
+            vertices=wrap(points, instance(vertices=points.shape[0]), vec),
+            element_lists=polygons,
+            boundaries=boundary_ids,
+            cell_centers=wrap(centers, cells, vec),
+            cell_volumes=wrap(volumes, cells),
+            neighbors=wrap(neighbors, cells, faces_dim),
+            face_areas_t=wrap(areas, cells, faces_dim),
+            face_centers_t=wrap(f_centers, cells, faces_dim, vec),
+            face_normals_t=wrap(normals, cells, faces_dim, vec),
+            neighbor_distances=wrap(distances, cells, faces_dim),
+            element_rank=element_rank if element_rank is not None else d,
+        )
     # --- cell centers & volumes (polygon area via shoelace) ---
     centers = np.zeros((n_cells, d), np.float32)
     volumes = np.zeros((n_cells,), np.float32)
