@@ -169,7 +169,8 @@ class ConstantExtrapolation(Extrapolation):
         if set(block.shape.names) != set(target.names):
             block = expand(const, target)
         bn = block.native(target.names)
-        bn = jnp.broadcast_to(bn, target.sizes).astype(value.dtype)
+        xp = np if isinstance(bn, np.ndarray) else jnp
+        bn = xp.broadcast_to(bn, tuple(target.sizes)).astype(value.dtype)
         return Tensor(bn, target)
 
     def __eq__(self, other):

@@ -29,13 +29,16 @@ _NAN_CTX = None  # sentinel
 # ---------------------------------------------------------------------------
 
 def zeros(*shape: Shape, dtype=None) -> Tensor:
+    # host (numpy) natives: embed into jit traces as literals without a
+    # device→host fetch (the axon TPU backend cannot fetch large trace-time
+    # device constants) and XLA folds zero literals for free
     s = concat_shapes(*shape)
-    return Tensor(jnp.zeros(s.sizes, dtype=dtype or default_float()), s)
+    return Tensor(np.zeros(s.sizes, dtype=dtype or default_float()), s)
 
 
 def ones(*shape: Shape, dtype=None) -> Tensor:
     s = concat_shapes(*shape)
-    return Tensor(jnp.ones(s.sizes, dtype=dtype or default_float()), s)
+    return Tensor(np.ones(s.sizes, dtype=dtype or default_float()), s)
 
 
 def zeros_like(t) -> Tensor:
@@ -79,6 +82,8 @@ def random_normal(*shape: Shape, dtype=None) -> Tensor:
 
 def linspace(start, stop, dim: Shape) -> Tensor:
     assert dim.rank == 1
+    if isinstance(start, (int, float)) and isinstance(stop, (int, float)):
+        return Tensor(np.linspace(start, stop, dim.size, dtype=default_float()), dim)
     return Tensor(jnp.linspace(start, stop, dim.size, dtype=default_float()), dim)
 
 
@@ -87,7 +92,7 @@ def arange(dim: Shape, start=0, stop=None, step=1) -> Tensor:
         stop = start + dim.size * step if dim.size is not None else None
         if dim.size is None:
             dim = dim.with_size(int(np.ceil((stop - start) / step)))
-    n = jnp.arange(start, stop, step, dtype=jnp.int32)
+    n = np.arange(start, stop, step, dtype=np.int32)
     return Tensor(n, dim.with_size(int(n.shape[0])))
 
 
@@ -98,10 +103,10 @@ def meshgrid(dims=spatial, stack_dim=channel('vector'), **sizes) -> Tensor:
     """Index grid: returns int tensor with spatial dims + channel 'vector' labeled by dim names."""
     dim_fn = dims if callable(dims) else spatial
     grid_shape = dim_fn(**{k: (v if isinstance(v, int) else len(v)) for k, v in sizes.items()})
-    arrays = [jnp.arange(v, dtype=jnp.int32) if isinstance(v, int) else jnp.asarray(v) for v in sizes.values()]
-    mesh = jnp.meshgrid(*arrays, indexing='ij')
+    arrays = [np.arange(v, dtype=np.int32) if isinstance(v, int) else np.asarray(v) for v in sizes.values()]
+    mesh = np.meshgrid(*arrays, indexing='ij')
     sd = Shape((stack_dim.dims[0].with_size(len(arrays), tuple(sizes.keys())),))
-    native = jnp.stack(mesh, axis=-1)
+    native = np.stack(mesh, axis=-1)  # host literal: no device const fetch under jit
     return Tensor(native, concat_shapes(grid_shape, sd))
 
 
@@ -129,7 +134,10 @@ def stack(values, dim: Shape, expand_values=False, **kwargs) -> Tensor:
     uniform = all(s == shapes[0] for s in shapes)
     if uniform and not any(isinstance(v, TensorStack) for v in values):
         natives = [v.native() for v in values]
-        native = jnp.stack(natives, axis=0)
+        if all(isinstance(n, (np.ndarray, np.generic)) for n in natives):
+            native = np.stack(natives, axis=0)  # host stays host (jit-literal safe)
+        else:
+            native = jnp.stack(natives, axis=0)
         return Tensor(native, concat_shapes(dim, shapes[0]))
     return TensorStack(values, dim)
 
@@ -161,7 +169,10 @@ def concat(values: Sequence[Tensor], dim) -> Tensor:
         order = (name,) + common.names
         an = _align_native(v.native() if not isinstance(v, TensorStack) else v._contiguous().native(), v.shape, order)
         result_natives.append(jnp.broadcast_to(an, (d.size,) + tuple(common.sizes)))
-    native = jnp.concatenate(result_natives, axis=0)
+    if all(isinstance(n, (np.ndarray, np.generic)) for n in result_natives):
+        native = np.concatenate(result_natives, axis=0)
+    else:
+        native = jnp.concatenate(result_natives, axis=0)
     labels = None
     if all(lp is not None for lp in labels_parts):
         labels = tuple(l for lp in labels_parts for l in lp)
@@ -364,8 +375,10 @@ def where(condition, value_true=1., value_false=0.) -> Tensor:
     c = _align_native(condition.native(), condition.shape, shape.names)
     a = _align_native(vt.native(), vt.shape, shape.names)
     b = _align_native(vf.native(), vf.shape, shape.names)
-    native = jnp.where(c, a, b)
-    native = jnp.broadcast_to(native, shape.sizes)
+    if all(isinstance(x, (np.ndarray, np.generic)) for x in (c, a, b)):
+        native = np.broadcast_to(np.where(c, a, b), tuple(shape.sizes))
+    else:
+        native = jnp.broadcast_to(jnp.where(c, a, b), tuple(shape.sizes))
     return Tensor(native, shape)
 
 
@@ -807,7 +820,7 @@ def fftfreq(resolution: Shape, dx=1, dtype=None) -> Tensor:
     """Fourier frequencies for each spatial dim, stacked in channel 'vector'."""
     comps = {}
     for d in resolution.spatial.dims:
-        f = jnp.fft.fftfreq(d.size, d=1.0)
+        f = np.fft.fftfreq(d.size, d=1.0)
         comps[d.name] = Tensor(f.astype(dtype or default_float()), Shape((d,)))
     k = stack(comps, channel('vector'), expand_values=True)
     return k / wrap(dx)
@@ -888,7 +901,7 @@ def dim_mask(all_dims: Shape, dims: DimFilter, mask_dim=channel('vector')) -> Te
     names = parse_dim_order(dims) if not callable(dims) or isinstance(dims, Shape) else dims(all_dims).names
     vals = [1.0 if n in names else 0.0 for n in all_names]
     d = mask_dim.dims[0].with_size(len(all_names), all_names)
-    return Tensor(jnp.asarray(vals, default_float()), Shape((d,)))
+    return Tensor(np.asarray(vals, default_float()), Shape((d,)))
 
 
 # ---------------------------------------------------------------------------

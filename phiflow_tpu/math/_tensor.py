@@ -166,8 +166,12 @@ class Tensor:
         new = [d for d in dims.dims if d.name not in self._shape]
         if not new:
             return self
+        target = tuple(d.size for d in new) + tuple(self._shape.sizes)
         native = self._native.reshape((1,) * len(new) + tuple(self._shape.sizes))
-        native = jnp.broadcast_to(native, tuple(d.size for d in new) + tuple(self._shape.sizes))
+        if isinstance(native, np.ndarray):  # keep host arrays host (jit-literal safe)
+            native = np.broadcast_to(native, target)
+        else:
+            native = jnp.broadcast_to(native, target)
         return Tensor(native, Shape(tuple(new) + self._shape.dims))
 
     # --- slicing ---
@@ -251,16 +255,17 @@ class Tensor:
 
     # --- arithmetic ---
     def _op1(self, fn) -> 'Tensor':
-        return Tensor(fn(self._native), self._shape)
+        return Tensor(_keep_host(fn(self._native), self._native), self._shape)
 
     def _op2(self, other, fn, reverse=False) -> 'Tensor':
         if isinstance(other, TensorStack):
             return NotImplemented  # let TensorStack handle it via reflected op
         if isinstance(other, Tensor):
             a, b, shape = _broadcast(self, other)
-            return Tensor(fn(b, a) if reverse else fn(a, b), shape)
+            return Tensor(_keep_host(fn(b, a) if reverse else fn(a, b), a, b), shape)
         if isinstance(other, (int, float, bool, complex)) or (isinstance(other, (np.ndarray, jax.Array)) and np.ndim(other) == 0):
-            return Tensor(fn(other, self._native) if reverse else fn(self._native, other), self._shape)
+            res = fn(other, self._native) if reverse else fn(self._native, other)
+            return Tensor(_keep_host(res, self._native), self._shape)
         if isinstance(other, (tuple, list, np.ndarray, jax.Array)):
             other = wrap(other, channel(vector=len(other)))
             return self._op2(other, fn, reverse)
@@ -502,24 +507,35 @@ def _shape_after_getitem(shape: Shape, sel: dict) -> Shape:
     return Shape(tuple(dims))
 
 
+def _keep_host(result, *inputs):
+    """If every array input lived on the host (numpy), bring an eagerly-computed
+    jax result back to the host. This keeps setup constants (boundary values,
+    geometry metadata) host-resident, so they embed into jit traces as literals —
+    the axon TPU backend cannot fetch device arrays during lowering."""
+    if isinstance(result, jax.Array) and not isinstance(result, jax.core.Tracer):
+        if all(isinstance(i, (np.ndarray, np.generic, int, float, bool, complex)) for i in inputs):
+            return np.asarray(result)
+    return result
+
+
 def _align_native(native, shape: Shape, order: Tuple[str, ...]):
-    """Transpose/expand `native` to axis order `order`; missing dims get size 1."""
+    """Transpose/expand `native` to axis order `order`; missing dims get size 1.
+    Host (numpy) inputs stay host so they embed into jit traces as literals."""
+    xp = np if isinstance(native, np.ndarray) else jnp
     present = [n for n in order if n in shape]
     perm = [shape.index(n) for n in present]
-    # dims of shape not in order must be size 1 → squeeze them? Require all shape dims in order.
     extra = [n for n in shape.names if n not in order]
     assert not extra or all(shape.get_size(n) == 1 for n in extra), \
         f"cannot convert {shape} to order {order}: dims {extra} missing from order"
     x = native
     if extra:
-        x = jnp.squeeze(x, axis=tuple(shape.index(n) for n in extra))
+        x = xp.squeeze(x, axis=tuple(shape.index(n) for n in extra))
         kept = [n for n in shape.names if n in order]
         perm = [kept.index(n) for n in present]
-    x = jnp.transpose(x, perm) if perm != list(range(len(perm))) else x
-    # insert size-1 axes for missing dims
+    x = xp.transpose(x, perm) if perm != list(range(len(perm))) else x
     missing_axes = [i for i, n in enumerate(order) if n not in shape]
     for ax in missing_axes:
-        x = jnp.expand_dims(x, ax)
+        x = xp.expand_dims(x, ax)
     return x
 
 
@@ -565,7 +581,7 @@ def wrap(value, *shape: Shape) -> Tensor:
             elif value.dtype == np.int64:
                 value = value.astype(np.int32)
         if np.ndim(value) == 0:
-            return Tensor(jnp.asarray(value), EMPTY_SHAPE)
+            return Tensor(value if isinstance(value, (np.ndarray, np.generic)) else jnp.asarray(value), EMPTY_SHAPE)
         if not shape:
             raise ValueError(f"wrap(array) requires dims for array of shape {value.shape}")
         target = concat_shapes(*shape)
@@ -573,7 +589,9 @@ def wrap(value, *shape: Shape) -> Tensor:
         assert len(sizes) == target.rank, f"array rank {len(sizes)} != shape rank {target.rank} ({target})"
         target = target.with_sizes(sizes) if not target.well_defined else target
         assert tuple(target.sizes) == sizes, f"array shape {sizes} != {target}"
-        return Tensor(jnp.asarray(value), target)
+        # numpy stays host (embeds into traces as a literal — see _keep_host)
+        native = value if isinstance(value, (np.ndarray, jax.Array)) else jnp.asarray(value)
+        return Tensor(native, target)
     raise TypeError(f"cannot wrap {type(value)}")
 
 
