@@ -5,6 +5,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..math import Shape, Tensor, EMPTY_SHAPE, wrap, spatial, channel, batch
+from ..math._tensor import Tensor
 from ..math import _ops as ops
 from ..geom import Geometry, UniformGrid
 from ._field import FieldInitializer
@@ -37,25 +38,32 @@ class Noise(FieldInitializer):
         return ops.random_normal(pts_shape & self._shape)
 
     def _sample_grid(self, resolution: Shape, physical_size) -> Tensor:
+        """Spectral synthesis on the HOST (numpy FFT): this is setup code, and
+        host arrays embed into jit traces as literals. (Some TPU runtimes, e.g.
+        the axon tunnel, do not implement device FFT at all.)"""
         shape = self._shape & resolution
-        rndj = (ops.random_normal(shape) + 1j * ops.random_normal(shape))._op1(lambda n: n)
-        k_parts = {}
-        for d in resolution.dims:
-            k_parts[d.name] = wrap(np.fft.fftfreq(d.size).astype(np.float32) * d.size, Shape((d,)))
-        k = ops.stack(k_parts, channel('vector'), expand_values=True)
-        # normalize frequencies by physical size ratio
-        k2 = ops.vec_squared(k)
+        rnd = np.asarray(ops.random_normal(shape).native()) + 1j * np.asarray(ops.random_normal(shape).native())
+        spatial_axes = [shape.index(n) for n in resolution.names]
+        k_grids = np.meshgrid(*[np.fft.fftfreq(d.size) * d.size for d in resolution.dims], indexing='ij')
+        k2 = np.zeros_like(k_grids[0])
+        for kg in k_grids:
+            k2 = k2 + kg ** 2
         lowest_frequency = 0.1
-        weight_mask = ops.to_float(k2 > lowest_frequency ** 2)
-        # 1/k^(2 smoothness) spectrum filter
-        inv_k2 = ops.safe_div(ops.ones_like(k2), k2)
-        amplitude = inv_k2 ** self.smoothness
-        fft = rndj._op2(amplitude * weight_mask, lambda a, b: a * b.astype(a.dtype))
-        result = ops.real(ops.ifft(fft, resolution))
-        std = ops.std(result, resolution)
-        result = ops.safe_div(result, std) * self.scale
-        result = result - ops.mean(result, resolution)
-        return ops.to_float(result)
+        weight_mask = (k2 > lowest_frequency ** 2).astype(np.float32)
+        with np.errstate(divide='ignore'):
+            inv_k2 = np.where(k2 > 0, 1.0 / np.where(k2 > 0, k2, 1.0), 0.0)
+        amplitude = (inv_k2 ** self.smoothness) * weight_mask
+        # broadcast the spectral filter over leading non-spatial dims
+        full = np.ones([d.size if i in spatial_axes else 1 for i, d in enumerate(shape.dims)], np.float32)
+        amp_full = full * amplitude.reshape([shape.dims[i].size if i in spatial_axes else 1
+                                             for i in range(len(shape.dims))])
+        filtered = rnd * amp_full
+        result = np.real(np.fft.ifftn(filtered, axes=spatial_axes)).astype(np.float32)
+        std = result.std(axis=tuple(spatial_axes), keepdims=True)
+        std[std == 0] = 1
+        result = result / std * self.scale
+        result = result - result.mean(axis=tuple(spatial_axes), keepdims=True)
+        return Tensor(result, shape)
 
     def __repr__(self):
         return f"Noise(scale={self.scale}, smoothness={self.smoothness})"

@@ -806,14 +806,20 @@ def fft(x: Tensor, dims: DimFilter = spatial) -> Tensor:
     x = wrap(x)
     names = _resolve_filter(dims, x.shape)
     axes = tuple(x.shape.index(n) for n in names)
-    return Tensor(jnp.fft.fftn(x.native(), axes=axes), x.shape)
+    n = x.native()
+    if isinstance(n, (np.ndarray, np.generic)):  # host input → host FFT
+        return Tensor(np.fft.fftn(n, axes=axes), x.shape)
+    return Tensor(jnp.fft.fftn(n, axes=axes), x.shape)
 
 
 def ifft(k: Tensor, dims: DimFilter = spatial) -> Tensor:
     k = wrap(k)
     names = _resolve_filter(dims, k.shape)
     axes = tuple(k.shape.index(n) for n in names)
-    return Tensor(jnp.fft.ifftn(k.native(), axes=axes), k.shape)
+    n = k.native()
+    if isinstance(n, (np.ndarray, np.generic)):
+        return Tensor(np.fft.ifftn(n, axes=axes), k.shape)
+    return Tensor(jnp.fft.ifftn(n, axes=axes), k.shape)
 
 
 def fftfreq(resolution: Shape, dx=1, dtype=None) -> Tensor:

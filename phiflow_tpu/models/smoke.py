@@ -19,12 +19,13 @@ class SmokePlume:
     self-advection + pressure projection (Solve('CG', 1e-3))."""
 
     def __init__(self, resolution: int = 64, dims: int = 2, buoyancy: float = 0.1,
-                 inflow_rate: float = 0.2, dt: float = 1.0, cg_tol: float = 1e-3,
-                 max_iterations: int = 1000, batch_shape=None):
+                 inflow_rate: float = 0.2, dt: float = 0.5, cg_tol: float = 1e-3,
+                 max_iterations: int = 1000, batch_shape=None, max_cells: int = 3):
         names = ['x', 'y', 'z'][:dims]
         sizes = {n: resolution for n in names}
         bounds = Box(**{n: float(resolution) for n in names})
         self.dt = dt
+        self.max_cells = max_cells
         self.cg_tol = cg_tol
         self.max_iterations = max_iterations
         self.buoyancy_dir = tuple(0. if i < dims - 1 else buoyancy for i in range(dims))
@@ -46,10 +47,10 @@ class SmokePlume:
 
     def step(self, velocity: Field, smoke: Field, pressure: Optional[Field]):
         dt = self.dt
-        smoke = advect.mac_cormack(smoke, velocity, dt) + \
+        smoke = advect.mac_cormack(smoke, velocity, dt, max_cells=self.max_cells) + \
             self.inflow_rate * resample(self.inflow, to=smoke, soft=True)
         buoyancy = resample(smoke * self.buoyancy_dir, to=velocity)
-        velocity = advect.semi_lagrangian(velocity, velocity, dt) + buoyancy * dt
+        velocity = advect.semi_lagrangian(velocity, velocity, dt, max_cells=self.max_cells) + buoyancy * dt
         velocity, pressure = fluid.make_incompressible(
             velocity, (), Solve('CG', self.cg_tol, 0., x0=pressure, max_iterations=self.max_iterations,
                                 suppress=(ConvergenceException,)))
