@@ -10,18 +10,27 @@ import sys
 import time
 
 
-def run_bench(resolution: int, dims: int = 3, steps: int = 10, warmup: int = 3, cg_tol: float = 1e-3,
-              max_iterations: int = 100):
+def _setup_jax():
     import jax
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache')
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    return jax
+
+
+def run_bench(resolution: int, dims: int = 3, steps: int = 20, warmup: int = 3, cg_tol: float = 1e-3,
+              max_iterations: int = 100):
+    jax = _setup_jax()
     from phiflow_tpu.models import SmokePlume
 
     model = SmokePlume(resolution=resolution, dims=dims, cg_tol=cg_tol, max_iterations=max_iterations)
     v, s, p = model.initial_state()
 
     step = jax.jit(model.step)
-    # warmup (compile)
     t_compile = time.perf_counter()
-    for _ in range(warmup):
+    # warmup: ≥2 calls — the state pytree structure stabilizes after the first step
+    for _ in range(max(warmup, 2)):
         v, s, p = step(v, s, p)
     jax.block_until_ready(jax.tree_util.tree_leaves((v, s, p)))
     t_compile = time.perf_counter() - t_compile
@@ -43,12 +52,13 @@ def run_bench(resolution: int, dims: int = 3, steps: int = 10, warmup: int = 3, 
 
 
 def main():
-    import jax
+    jax = _setup_jax()
     results = {}
-    # Benchmark ladder: stop growing when a size fails (memory) or takes too long.
-    for res in (128, 192, 256):
+    for res in (64, 128, 256):
         try:
-            results[res] = run_bench(res, dims=3, steps=6, warmup=2)
+            results[res] = run_bench(res, dims=3, steps=10, warmup=3)
+            sys.stderr.write(f"bench {res}^3: {results[res]['per_step_ms']:.1f} ms/step "
+                             f"({results[res]['cells_per_sec'] / 1e6:.1f} Mcells/s)\n")
         except Exception as exc:  # OOM or compile failure at large sizes
             sys.stderr.write(f"bench {res}^3 failed: {type(exc).__name__}: {exc}\n")
             break
@@ -64,7 +74,7 @@ def main():
         'unit': 'cells/s',
         'vs_baseline': None,  # reference publishes no numbers (BASELINE.md)
         'per_step_ms': round(best['per_step_ms'], 2),
-        'all': {str(k): round(val['cells_per_sec'], 1) for k, val in results.items()},
+        'all': {f"{k}^3": round(val['cells_per_sec'], 1) for k, val in results.items()},
         'device': str(jax.devices()[0]),
     }))
 
