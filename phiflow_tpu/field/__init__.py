@@ -17,3 +17,18 @@ from ._point_cloud import PointCloud, nonzero, distribute_points
 from ._embed import FieldEmbedding
 from ._field_io import write, read
 from ._scene import Scene
+
+# aliases & re-exports matching the reference namespace (phi/field/__init__.py)
+SampledField = Field  # PhiFlow 2.x alias
+from ._field_math import l1_loss, frequency_loss
+from ..math import (
+    to_float, to_int32, to_int64, cast, unstack, shift,
+    jit_compile, jit_compile_linear, gradient, functional_gradient, jacobian,
+    solve_linear, solve_nonlinear, minimize,
+)
+from ._field_math import is_finite as isfinite
+
+
+def convert(field, backend=None, use_dlpack=True):
+    """Backend conversion is a no-op in the JAX-only core (reference: phi.field.convert)."""
+    return field

@@ -30,7 +30,7 @@ __all__ = [
     'is_finite', 'real', 'imag', 'sigmoid', 'mean', 'normalize', 'center_of_mass', 'vec_length', 'vec_squared',
     'finite_fill', 'discretize', 'integrate', 'pack_dims', 'support', 'mask', 'native_call', 'safe_mul',
     'bake_extrapolation', 'assert_close', 'data_bounds', 'pad', 'downsample2x', 'upsample2x', 'concat', 'stack',
-    'stop_gradient', 'jit_compile_linear', 'l2_loss',
+    'stop_gradient', 'jit_compile_linear', 'l2_loss', 'l1_loss', 'frequency_loss',
 ]
 
 
@@ -558,6 +558,30 @@ def l2_loss(field) -> Tensor:
     if isinstance(field, TensorStack):
         return sum([l2_loss(c) for c in field.components])
     return ops.sum_(field ** 2, field.shape.non_batch) * 0.5
+
+
+def l1_loss(field) -> Tensor:
+    if isinstance(field, Field):
+        field = field.values
+    if isinstance(field, TensorStack):
+        return sum([l1_loss(c) for c in field.components])
+    return ops.sum_(abs(field), field.shape.non_batch)
+
+
+def frequency_loss(field, frequency_falloff=100, threshold=1e-5, ignore_mean=False) -> Tensor:
+    """Loss on the weighted frequency spectrum (reference: phiml frequency_loss;
+    penalizes low frequencies more)."""
+    values = field.values if isinstance(field, Field) else field
+    if isinstance(values, TensorStack):
+        return sum([frequency_loss(c, frequency_falloff, threshold, ignore_mean) for c in values.components])
+    if ignore_mean:
+        values = values - ops.mean(values, values.shape.non_batch)
+    k = ops.fftfreq(values.shape.spatial)
+    k2 = ops.vec_squared(k)
+    weights = ops.exp(-0.5 * k2 * frequency_falloff ** 2)
+    diff_fft = ops.fft(values) 
+    sq = ops.real(diff_fft) ** 2 + ops.imag(diff_fft) ** 2
+    return ops.sum_(sq * weights, sq.shape.non_batch) * 0.5
 
 
 # ---------------------------------------------------------------------------

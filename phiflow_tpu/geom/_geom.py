@@ -20,7 +20,18 @@ from ..math import (
 from ..math import _ops as ops
 from ..math._magic import BoundDim, slicing_dict
 
-__all__ = ['Geometry', 'Point', 'NoGeometry', 'InvertedGeometry', 'invert', 'sample_function', 'rotate', 'scale']
+__all__ = ['Geometry', 'Point', 'NoGeometry', 'InvertedGeometry', 'invert', 'sample_function', 'rotate', 'scale',
+           'GeometryException', 'assert_same_rank']
+
+
+class GeometryException(Exception):
+    """Raised when an operation is not defined for a geometry (reference: phi/geom/_geom.py)."""
+
+
+def assert_same_rank(rank1, rank2, error_message):
+    rank1 = rank1.spatial_rank if hasattr(rank1, 'spatial_rank') else rank1
+    rank2 = rank2.spatial_rank if hasattr(rank2, 'spatial_rank') else rank2
+    assert rank1 == rank2, f"{error_message} ranks {rank1} != {rank2}"
 
 
 class Geometry:

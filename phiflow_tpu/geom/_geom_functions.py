@@ -62,3 +62,21 @@ def line_trace(geo: Geometry, origin: Tensor, direction: Tensor, side='both', to
     normal = _sdf_normal(geo.approximate_signed_distance, position)
     final_hit = abs(sdf_at(t)) < tolerance * 10
     return final_hit, t, position, normal, None
+
+
+def farthest_points(points, count: int, batch_dims=None):
+    """Greedy farthest-point sampling: indices of `count` spread-out points
+    (reference: phi/geom farthest_points)."""
+    import numpy as np
+    from ..math import instance, channel, wrap as _wrap
+    inst = points.shape.instance
+    pts = np.asarray(points.numpy(inst.names + ('vector',)))
+    n = pts.shape[0]
+    count = min(count, n)
+    chosen = [0]
+    dists = np.linalg.norm(pts - pts[0], axis=-1)
+    for _ in range(count - 1):
+        idx = int(np.argmax(dists))
+        chosen.append(idx)
+        dists = np.minimum(dists, np.linalg.norm(pts - pts[idx], axis=-1))
+    return _wrap(np.asarray(chosen, np.int32), instance(**{inst.name: count}))
