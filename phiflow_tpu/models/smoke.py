@@ -20,7 +20,7 @@ class SmokePlume:
 
     def __init__(self, resolution: int = 64, dims: int = 2, buoyancy: float = 0.1,
                  inflow_rate: float = 0.2, dt: float = 0.5, cg_tol: float = 1e-3,
-                 max_iterations: int = 1000, batch_shape=None, max_cells: int = 3):
+                 max_iterations: int = 1000, batch_shape=None, max_cells: int = 2):
         names = ['x', 'y', 'z'][:dims]
         sizes = {n: resolution for n in names}
         bounds = Box(**{n: float(resolution) for n in names})
@@ -41,6 +41,13 @@ class SmokePlume:
             smoke0 = smoke0.with_values(expand(smoke0.values, batch_shape))
         self.smoke0 = smoke0
         self.pressure0 = CenteredGrid(0., extrapolation.BOUNDARY, bounds=bounds, **sizes)
+        # precompute the (constant) soft inflow mask eagerly — avoids embedding a
+        # resolution³ literal into the jit trace (reference recipe recomputes it,
+        # but it is time-independent). Stored on device: jax hoists device-array
+        # closure constants as runtime const-args instead of HLO literals.
+        import jax as _jax
+        mask = resample(self.inflow, to=smoke0, soft=True)
+        self.inflow_mask = mask.with_values(mask.values._op1(lambda n: _jax.device_put(n)))
 
     def initial_state(self) -> Tuple[Field, Field, Field]:
         return self.velocity0, self.smoke0, self.pressure0
@@ -48,7 +55,7 @@ class SmokePlume:
     def step(self, velocity: Field, smoke: Field, pressure: Optional[Field]):
         dt = self.dt
         smoke = advect.mac_cormack(smoke, velocity, dt, max_cells=self.max_cells) + \
-            self.inflow_rate * resample(self.inflow, to=smoke, soft=True)
+            self.inflow_rate * self.inflow_mask
         buoyancy = resample(smoke * self.buoyancy_dir, to=velocity)
         velocity = advect.semi_lagrangian(velocity, velocity, dt, max_cells=self.max_cells) + buoyancy * dt
         velocity, pressure = fluid.make_incompressible(

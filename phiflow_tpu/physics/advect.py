@@ -116,17 +116,29 @@ def points(points_: Union[Field, Geometry, Tensor], velocity: Field, dt: float, 
     return result.geometry if isinstance(points_, Geometry) else result.center
 
 
-def _window_interp_field(field: Field, lookup: Tensor, max_cells: int, extrema=False):
-    """Interpolate `field` at `lookup` points via bounded window shifts
-    (TPU-native gather replacement, see math._nd.shift_window_interp).
-    Returns values, or (values, lim_lo, lim_up) with extrema."""
+def _displacement(field: Field, velocity: Field, dt, integrator, v0=None) -> Tensor:
+    """Backtrace displacement (world units) at field's sample points.
+    For the euler integrator this is just dt·v — computed WITHOUT materializing
+    absolute sample positions (huge literals at 256³+). Other integrators derive
+    it from the lookup points."""
+    if v0 is None:
+        v0 = _sample_velocity(velocity, field)
+    if integrator is euler:
+        return dt * v0
+    lookup = integrator(field, velocity, dt, v0=v0)
+    return lookup - field.points
+
+
+def _window_interp_field(field: Field, displacement: Tensor, max_cells: int, extrema=False):
+    """Interpolate `field` at its own points displaced by `displacement` (world
+    units) via bounded window shifts (TPU-native gather replacement, see
+    math._nd.shift_window_interp). Returns values, or (values, lim_lo, lim_up)."""
     from ..math._nd import shift_window_interp
     if field.is_staggered:
         comps, los, ups = [], [], []
         for dim in field.resolution.names:
             comp = field.vector[dim]
-            pts = lookup[{'~vector': dim}] if '~vector' in lookup.shape else lookup
-            disp = (pts - comp.geometry.center) / field.dx
+            disp = (displacement[{'~vector': dim}] if '~vector' in displacement.shape else displacement) / field.dx
             r = shift_window_interp(comp.values, disp, comp.boundary, max_cells, compute_extrema=extrema)
             if extrema:
                 comps.append(r[0]); los.append(r[1]); ups.append(r[2])
@@ -136,7 +148,7 @@ def _window_interp_field(field: Field, lookup: Tensor, max_cells: int, extrema=F
         if extrema:
             return values, stack(los, dual(vector=field.resolution.names)), stack(ups, dual(vector=field.resolution.names))
         return values
-    disp = (lookup - field.geometry.center) / field.dx
+    disp = displacement / field.dx
     return shift_window_interp(field.values, disp, field.boundary, max_cells, compute_extrema=extrema)
 
 
@@ -148,10 +160,11 @@ def semi_lagrangian(field: Field, velocity: Field, dt: float, integrator=euler,
     window-shift interpolation — exact whenever the CFL number ≤ K (displacements
     beyond K cells are clamped). Pass max_cells=None for the reference's global
     gather semantics (slow on TPU, needed only for CFL > K)."""
-    lookup = integrator(field, velocity, -dt)
     if field.is_grid and max_cells is not None:
-        values = _window_interp_field(field, lookup, max_cells)
+        disp = _displacement(field, velocity, -dt, integrator)
+        values = _window_interp_field(field, disp, max_cells)
         return field.with_values(values)
+    lookup = integrator(field, velocity, -dt)
     interpolated = reduce_sample(field, lookup)
     return field.with_values(interpolated)
 
@@ -163,12 +176,12 @@ def mac_cormack(field: Field, velocity: Field, dt: float, correction_strength=1.
     TPU note: `max_cells` as in `semi_lagrangian` — bounded window-shift
     interpolation with the 2^d-corner clamp fused into the same window pass."""
     v0 = _sample_velocity(velocity, field)
-    points_bwd = integrator(field, velocity, -dt, v0=v0)
-    points_fwd = integrator(field, velocity, dt, v0=v0)
     if field.is_grid and max_cells is not None:
-        fwd_vals, lim_lo, lim_up = _window_interp_field(field, points_bwd, max_cells, extrema=True)
+        disp_bwd = _displacement(field, velocity, -dt, integrator, v0=v0)
+        disp_fwd = _displacement(field, velocity, dt, integrator, v0=v0)
+        fwd_vals, lim_lo, lim_up = _window_interp_field(field, disp_bwd, max_cells, extrema=True)
         fwd_adv = field.with_values(fwd_vals)
-        bwd_vals = _window_interp_field(fwd_adv, points_fwd, max_cells)
+        bwd_vals = _window_interp_field(fwd_adv, disp_fwd, max_cells)
         bwd_adv = fwd_adv.with_values(bwd_vals)
         new_field = fwd_adv + correction_strength * 0.5 * (field - bwd_adv)
         if field.is_staggered:
@@ -178,6 +191,8 @@ def mac_cormack(field: Field, velocity: Field, dt: float, correction_strength=1.
                                       lim_lo[{'~vector': dim}], lim_up[{'~vector': dim}]))
             return Field(field.geometry, stack(comps, dual(vector=field.resolution.names)), field.boundary)
         return new_field.with_values(ops.clip(new_field.values, lim_lo, lim_up))
+    points_bwd = integrator(field, velocity, -dt, v0=v0)
+    points_fwd = integrator(field, velocity, dt, v0=v0)
     fwd_adv = field.with_values(reduce_sample(field, points_bwd))
     bwd_adv = fwd_adv.with_values(reduce_sample(fwd_adv, points_fwd))
     new_field = fwd_adv + correction_strength * 0.5 * (field - bwd_adv)
