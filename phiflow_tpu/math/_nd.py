@@ -311,50 +311,62 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
     Returns interp, or (interp, corner_min, corner_max) when compute_extrema
     (the MacCormack clamp values — reference: phi/physics/advect.py:210-215).
     """
-    import itertools as _it
     ch = displacement_cells.shape.channel
     dims = ch.labels[0]
     d = len(dims)
     K = max_cells
-    # pad grid by K+1 on each side with the boundary condition
-    widths = {n: (K + 1, K + 1) for n in dims}
-    padded = extrap.pad(grid, widths)
-    if isinstance(padded, TensorStack):
-        padded = padded._contiguous()
-    # per-dim floor/frac of the displacement
-    rel_t = {}
-    frac_t = {}
+    W = 2 * K + 2  # shifts per axis: s ∈ [-K, K+1]
+    big = jnp.asarray(3.4e38, jnp.float32)
+    # pad the grid once on all interpolated axes
+    padded_t = extrap.pad(grid, {n: (K + 1, K + 1) for n in dims})
+    if isinstance(padded_t, TensorStack):
+        padded_t = padded_t._contiguous()
+    out_shape = grid.shape
+    out_order = out_shape.names
+    padded = padded_t.native(out_order)
+    # per-axis floor/frac aligned to the output layout
+    rels, fracs = [], []
     for n in dims:
         disp = displacement_cells[{ch.name: n}]
-        lo = ops.floor(disp)
-        frac_t[n] = disp - lo
-        rel_t[n] = ops.clip(ops.to_int32(lo), -K, K)
-    total = None
-    lim_lo = None
-    lim_up = None
-    sizes = {n: grid.shape.get_size(n) for n in dims}
-    for s in _it.product(range(-K, K + 2), repeat=d):
-        # window: padded[K+1+s : K+1+s+size] per dim
-        sel = {n: slice(K + 1 + s[i], K + 1 + s[i] + sizes[n]) for i, n in enumerate(dims)}
-        window = padded[sel]
+        lo = jnp.floor(disp.native(out_order))
+        fracs.append((disp.native(out_order) - lo).astype(padded.dtype))
+        rels.append(jnp.clip(lo.astype(jnp.int32), -K, K))
+    axis_pos = [out_shape.index(n) for n in dims]
+    out_sizes = tuple(out_shape.sizes)
+    rank = len(out_sizes)
+    # The joint (2K+2)^d-corner sum runs as a fori_loop: one dynamic-slice window
+    # + fused FMA per iteration. Correct for spatially-varying displacement
+    # (weights evaluated at the OUTPUT lattice) with an O(1)-size HLO —
+    # python-unrolled windows crash remote compilers at 256³+.
+    zero = jnp.zeros(out_sizes, padded.dtype)
+    init = (zero, jnp.full(out_sizes, big, padded.dtype), jnp.full(out_sizes, -big, padded.dtype)) \
+        if compute_extrema else zero
+
+    def body(k, acc):
+        starts = [0] * rank
         w = None
-        corner_mask = None
-        for i, n in enumerate(dims):
-            rel = rel_t[n]
-            frac = frac_t[n]
-            wd = ops.where(rel == s[i], 1.0 - frac, ops.where(rel == s[i] - 1, frac, 0.0))
-            w = wd if w is None else w * wd
+        cm = None
+        kk = k
+        for i in range(d):
+            s = kk % W - K
+            kk = kk // W
+            starts[axis_pos[i]] = K + 1 + s
+            wi = jnp.where(rels[i] == s, 1.0 - fracs[i], jnp.where(rels[i] == s - 1, fracs[i], 0.0))
+            w = wi if w is None else w * wi
             if compute_extrema:
-                cm = (rel == s[i]) | (rel == s[i] - 1)
-                corner_mask = cm if corner_mask is None else corner_mask & cm
-        contrib = window * w
-        total = contrib if total is None else total + contrib
+                ci = (rels[i] == s) | (rels[i] == s - 1)
+                cm = ci if cm is None else cm & ci
+        window = jax.lax.dynamic_slice(padded, starts, out_sizes)
         if compute_extrema:
-            big = 3.4e38
-            masked_lo = ops.where(corner_mask, window, big)
-            masked_up = ops.where(corner_mask, window, -big)
-            lim_lo = masked_lo if lim_lo is None else ops.minimum(lim_lo, masked_lo)
-            lim_up = masked_up if lim_up is None else ops.maximum(lim_up, masked_up)
+            total, lo_acc, up_acc = acc
+            total = total + window * w
+            lo_acc = jnp.minimum(lo_acc, jnp.where(cm, window, big))
+            up_acc = jnp.maximum(up_acc, jnp.where(cm, window, -big))
+            return total, lo_acc, up_acc
+        return acc + window * w
+
+    result = jax.lax.fori_loop(0, W ** d, body, init)
     if compute_extrema:
-        return total, lim_lo, lim_up
-    return total
+        total, lo_acc, up_acc = result
+        return (Tensor(total, out_shape), Tensor(lo_acc, out_shape), Tensor(up_acc, out_shape))
+    return Tensor(result, out_shape)
