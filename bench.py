@@ -27,18 +27,24 @@ def run_bench(resolution: int, dims: int = 3, steps: int = 20, warmup: int = 3, 
     model = SmokePlume(resolution=resolution, dims=dims, cg_tol=cg_tol, max_iterations=max_iterations)
     v, s, p = model.initial_state()
 
+    import numpy as np
+
+    def hard_sync(field):
+        # value fetch: block_until_ready can return early on tunneled backends
+        return float(np.asarray(field.values.native()).sum())
+
     step = jax.jit(model.step)
     t_compile = time.perf_counter()
     # warmup: ≥2 calls — the state pytree structure stabilizes after the first step
     for _ in range(max(warmup, 2)):
         v, s, p = step(v, s, p)
-    jax.block_until_ready(jax.tree_util.tree_leaves((v, s, p)))
+    hard_sync(s)
     t_compile = time.perf_counter() - t_compile
 
     t0 = time.perf_counter()
     for _ in range(steps):
         v, s, p = step(v, s, p)
-    jax.block_until_ready(jax.tree_util.tree_leaves((v, s, p)))
+    hard_sync(s)
     elapsed = time.perf_counter() - t0
     per_step = elapsed / steps
     cells = resolution ** dims
