@@ -334,6 +334,18 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
     axis_pos = [out_shape.index(n) for n in dims]
     out_sizes = tuple(out_shape.sizes)
     rank = len(out_sizes)
+    # --- Pallas fast path: tile+halo loaded into VMEM once, all windows on-chip ---
+    from ..ops.interp import pallas_available, window_interp_3d, window_interp_2d
+    plain = (rank == d and tuple(out_shape.names) == tuple(dims)
+             and padded.dtype == jnp.float32 and all(s >= 8 for s in out_sizes))
+    if plain and d in (2, 3) and pallas_available():
+        rel_stack = jnp.stack(rels, 0)
+        frac_stack = jnp.stack([f.astype(jnp.float32) for f in fracs], 0)
+        fn = window_interp_3d if d == 3 else window_interp_2d
+        result = fn(padded.astype(jnp.float32), rel_stack, frac_stack, K, compute_extrema=compute_extrema)
+        if compute_extrema:
+            return (Tensor(result[0], out_shape), Tensor(result[1], out_shape), Tensor(result[2], out_shape))
+        return Tensor(result, out_shape)
     # The joint (2K+2)^d-corner sum runs as a fori_loop: one dynamic-slice window
     # + fused FMA per iteration. Correct for spatially-varying displacement
     # (weights evaluated at the OUTPUT lattice) with an O(1)-size HLO —

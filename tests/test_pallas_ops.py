@@ -52,3 +52,57 @@ def test_laplacian_dispatch_cpu_fallback():
     # differentiable
     g = jax.grad(lambda y: jnp.sum(laplacian_2d(y, 1.0, True) ** 2))(x)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_window_interp_3d_matches_fori():
+    """Pallas window-interp kernel (interpret mode) vs the XLA fori_loop reference."""
+    from phiflow_tpu.ops.interp import window_interp_3d
+    rng = np.random.default_rng(0)
+    K = 2
+    C = K + 1
+    X = Y = Z = 16
+    padded = jnp.asarray(rng.standard_normal((X + 2 * C, Y + 2 * C, Z + 2 * C)).astype(np.float32))
+    rel = jnp.asarray(rng.integers(-K, K + 1, (3, X, Y, Z)).astype(np.int32))
+    frac = jnp.asarray(rng.uniform(0, 1, (3, X, Y, Z)).astype(np.float32))
+    out, lo, up = window_interp_3d(padded, rel, frac, K, compute_extrema=True, interpret=True)
+    # reference: direct corner evaluation
+    grid = np.asarray(padded)
+    r = np.asarray(rel); f = np.asarray(frac)
+    expected = np.zeros((X, Y, Z), np.float32)
+    exp_lo = np.full((X, Y, Z), np.inf, np.float32)
+    exp_up = np.full((X, Y, Z), -np.inf, np.float32)
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                ix = np.arange(X)[:, None, None] + r[0] + cx + C
+                iy = np.arange(Y)[None, :, None] + r[1] + cy + C
+                iz = np.arange(Z)[None, None, :] + r[2] + cz + C
+                vals = grid[ix, iy, iz]
+                w = ((f[0] if cx else 1 - f[0]) * (f[1] if cy else 1 - f[1]) * (f[2] if cz else 1 - f[2]))
+                expected += vals * w
+                exp_lo = np.minimum(exp_lo, vals)
+                exp_up = np.maximum(exp_up, vals)
+    assert np.allclose(np.asarray(out), expected, atol=2e-4), np.abs(np.asarray(out) - expected).max()
+    assert np.allclose(np.asarray(lo), exp_lo, atol=1e-6)
+    assert np.allclose(np.asarray(up), exp_up, atol=1e-6)
+
+
+def test_window_interp_2d_matches():
+    from phiflow_tpu.ops.interp import window_interp_2d
+    rng = np.random.default_rng(1)
+    K = 2
+    C = K + 1
+    X, Y = 16, 24
+    padded = jnp.asarray(rng.standard_normal((X + 2 * C, Y + 2 * C)).astype(np.float32))
+    rel = jnp.asarray(rng.integers(-K, K + 1, (2, X, Y)).astype(np.int32))
+    frac = jnp.asarray(rng.uniform(0, 1, (2, X, Y)).astype(np.float32))
+    out = window_interp_2d(padded, rel, frac, K, interpret=True)
+    grid = np.asarray(padded); r = np.asarray(rel); f = np.asarray(frac)
+    expected = np.zeros((X, Y), np.float32)
+    for cx in (0, 1):
+        for cy in (0, 1):
+            ix = np.arange(X)[:, None] + r[0] + cx + C
+            iy = np.arange(Y)[None, :] + r[1] + cy + C
+            w = (f[0] if cx else 1 - f[0]) * (f[1] if cy else 1 - f[1])
+            expected += grid[ix, iy] * w
+    assert np.allclose(np.asarray(out), expected, atol=2e-4)
