@@ -335,10 +335,16 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
     out_sizes = tuple(out_shape.sizes)
     rank = len(out_sizes)
     # --- Pallas fast path: tile+halo loaded into VMEM once, all windows on-chip ---
-    from ..ops.interp import pallas_available, window_interp_3d, window_interp_2d
+    from ..ops.interp import pallas_available, window_interp_3d, window_interp_2d, supported_3d, supported_2d
     plain = (rank == d and tuple(out_shape.names) == tuple(dims)
-             and padded.dtype == jnp.float32 and all(s >= 8 for s in out_sizes))
-    if plain and d in (2, 3) and pallas_available():
+             and padded.dtype == jnp.float32)
+    if plain and d == 3:
+        plain = supported_3d(*out_sizes, K)
+    elif plain and d == 2:
+        plain = supported_2d(*out_sizes, K)
+    else:
+        plain = False
+    if plain and pallas_available():
         rel_stack = jnp.stack(rels, 0)
         frac_stack = jnp.stack([f.astype(jnp.float32) for f in fracs], 0)
         fn = window_interp_3d if d == 3 else window_interp_2d
