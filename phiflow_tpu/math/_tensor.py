@@ -97,6 +97,9 @@ NUMPY = _NumpyContext()
 class Tensor:
     """Uniform named-dim tensor: one `jax.Array` + `Shape`. Immutable."""
     __slots__ = ('_native', '_shape')
+    # numpy must defer to our __radd__ etc. instead of iterating the Tensor
+    __array_priority__ = 100.0
+    __array_ufunc__ = None
 
     def __init__(self, native, shape: Shape):
         assert isinstance(shape, Shape), f"shape must be Shape, got {type(shape)}"
