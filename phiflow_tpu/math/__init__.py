@@ -54,6 +54,7 @@ from ._solve import (
 )
 from ._sparse import (
     SparseCooTensor, sparse_tensor, is_sparse, dense, to_format, stored_indices, stored_values,
+    matrix_from_function,
 )
 
 PI = _np.pi

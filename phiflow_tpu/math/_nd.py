@@ -324,13 +324,11 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
     out_shape = grid.shape
     out_order = out_shape.names
     padded = padded_t.native(out_order)
-    # per-axis floor/frac aligned to the output layout
-    rels, fracs = [], []
+    # per-axis displacement aligned to the output layout, clamped to window coverage
+    disps = []
     for n in dims:
         disp = displacement_cells[{ch.name: n}]
-        lo = jnp.floor(disp.native(out_order))
-        fracs.append((disp.native(out_order) - lo).astype(padded.dtype))
-        rels.append(jnp.clip(lo.astype(jnp.int32), -K, K))
+        disps.append(jnp.clip(disp.native(out_order).astype(padded.dtype), -K, K + 1.0))
     axis_pos = [out_shape.index(n) for n in dims]
     out_sizes = tuple(out_shape.sizes)
     rank = len(out_sizes)
@@ -345,10 +343,9 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
     else:
         plain = False
     if plain and pallas_available():
-        rel_stack = jnp.stack(rels, 0)
-        frac_stack = jnp.stack([f.astype(jnp.float32) for f in fracs], 0)
+        disp_stack = jnp.stack([dd.astype(jnp.float32) for dd in disps], 0)
         fn = window_interp_3d if d == 3 else window_interp_2d
-        result = fn(padded.astype(jnp.float32), rel_stack, frac_stack, K, compute_extrema=compute_extrema)
+        result = fn(padded.astype(jnp.float32), disp_stack, K, compute_extrema=compute_extrema)
         if compute_extrema:
             return (Tensor(result[0], out_shape), Tensor(result[1], out_shape), Tensor(result[2], out_shape))
         return Tensor(result, out_shape)
@@ -369,10 +366,11 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
             s = kk % W - K
             kk = kk // W
             starts[axis_pos[i]] = K + 1 + s
-            wi = jnp.where(rels[i] == s, 1.0 - fracs[i], jnp.where(rels[i] == s - 1, fracs[i], 0.0))
+            ai = jnp.abs(disps[i] - s)
+            wi = jnp.maximum(0.0, 1.0 - ai)  # hat function = exact linear-interp weight
             w = wi if w is None else w * wi
             if compute_extrema:
-                ci = (rels[i] == s) | (rels[i] == s - 1)
+                ci = ai < 1.0
                 cm = ci if cm is None else cm & ci
         window = jax.lax.dynamic_slice(padded, starts, out_sizes)
         if compute_extrema:

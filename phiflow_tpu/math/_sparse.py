@@ -154,7 +154,41 @@ def stored_values(x: SparseCooTensor, list_dim=instance('entries')) -> Tensor:
     return x._values
 
 
-def matrix_from_function(f, *dims: Shape, **kwargs) -> SparseCooTensor:
-    """Build an explicit sparse matrix by evaluating a linear function on basis
-    vectors (for export/direct solvers; the solve path stays matrix-free)."""
-    raise NotImplementedError("matrix export arrives with the sparse direct-solver backend")
+def matrix_from_function(f, *args, auto_compress=True, **kwargs):
+    """Explicit sparse matrix + bias of an affine function (reference API:
+    phiml matrix_from_function; used by phi.field for matrix export and direct
+    solvers). Returns ``(matrix, bias)`` with ``f(x) == matrix @ x + bias``.
+
+    The matrix rows carry the output dims, columns the dual of the input dims.
+
+    TPU note: the solve path stays matrix-free (jit_compile_linear + CG); this
+    exists for host-side export / inspection / direct solvers. The Jacobian is
+    probed densely via jax.jacfwd (eager only — O(n) linearized evaluations),
+    then sparsified, so it is intended for moderate problem sizes."""
+    x0 = args[0]
+    rest = args[1:]
+    in_shape = x0.shape
+    zero_in = ops.zeros(in_shape, dtype=x0.dtype)
+    bias = f(zero_in, *rest, **kwargs)
+    out_shape = bias.shape
+    n_in = int(np.prod(in_shape.sizes, dtype=np.int64)) if in_shape.rank else 1
+    in_order = in_shape.names
+    out_order = out_shape.names
+
+    def g(vec):
+        x = Tensor(vec.reshape(tuple(in_shape.sizes)), in_shape)
+        y = f(x, *rest, **kwargs)
+        return (y - bias).native(out_order).reshape(-1)
+
+    J = np.asarray(jax.jacfwd(g)(jnp.zeros((n_in,), jnp.float32)))  # (n_out, n_in)
+    nz = np.argwhere(J != 0) if auto_compress else np.argwhere(np.ones_like(J, bool))
+    vals = J[tuple(nz.T)]
+    out_coords = np.unravel_index(nz[:, 0], tuple(out_shape.sizes)) if out_shape.rank else ()
+    in_coords = np.unravel_index(nz[:, 1], tuple(in_shape.sizes)) if in_shape.rank else ()
+    coords = np.stack(list(out_coords) + list(in_coords), -1).astype(np.int32)
+    dual_in = dual(**{n: s for n, s in zip(in_order, in_shape.sizes)})
+    col_names = list(out_order) + list(dual_in.names)
+    idx = wrap(coords, instance(entries=coords.shape[0]), channel(sparse_idx=tuple(col_names)))
+    matrix = SparseCooTensor(idx, wrap(vals.astype(np.float32), instance(entries=len(vals))),
+                             out_shape & dual_in)
+    return matrix, bias

@@ -7,4 +7,5 @@ from ._vis import plot, show, close, control, action, overlay, write_image, plot
 from ._vis_base import VisModel, Control, Action, benchmark, play_async, Recipe, PlottingLibrary, Gui
 from ._viewer import Viewer, view, create_viewer
 from ._log import SceneLog, load_scalars
+from ._web import WebGui, web_view
 from . import _console as console

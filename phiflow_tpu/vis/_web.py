@@ -1,0 +1,242 @@
+"""Built-in web GUI — TPU-native analog of the reference's Dash app
+(reference: /root/reference/phi/vis/_dash/dash_gui.py:19-42, board.py, player_controls.py).
+
+The reference ships a multi-page Dash web application (Home / Side-by-Side /
+Info / Log / Φ-Board) for interactive simulation monitoring. Dash is a heavy
+external dependency; this module provides the same capability — live field
+views, play/pause/step, control sliders, scalar curves, step benchmark — as a
+zero-dependency std-lib ``http.server`` app. Plots are rendered server-side
+with the matplotlib backend and streamed as PNG; the page polls via fetch().
+
+Usage::
+
+    viewer = vis.view(play=False)
+    gui = WebGui(port=8050)
+    gui.setup(viewer)
+    gui.show(block=False)       # serve http://localhost:8050
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlparse, parse_qs
+
+from ._vis_base import Gui, VisModel, play_async, benchmark, display_name
+
+__all__ = ['WebGui', 'web_view']
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>{title}</title>
+<style>
+ body {{ font-family: sans-serif; margin: 1.5em; background: #fafafa; }}
+ button {{ margin: 0 .2em; padding: .4em 1em; }}
+ img {{ border: 1px solid #ccc; background: white; max-width: 95vw; }}
+ .ctl {{ margin: .4em 0; }}
+ #status {{ color: #666; margin-left: 1em; }}
+</style></head>
+<body>
+<h2>{title}</h2>
+<div>
+ <button onclick="api('play')">&#9654; Play</button>
+ <button onclick="api('pause')">&#10074;&#10074; Pause</button>
+ <button onclick="api('step')">Step</button>
+ <span id="status"></span>
+</div>
+<div class="ctl" id="controls"></div>
+<div class="ctl">Field:
+ <select id="field" onchange="refresh()">{options}</select>
+</div>
+<img id="plot" src="/plot?field={first}">
+<h3>Scalars</h3>
+<img id="curves" src="/curves">
+<script>
+ const fieldSel = document.getElementById('field');
+ function refresh() {{
+   const f = fieldSel.value;
+   document.getElementById('plot').src = '/plot?field=' + f + '&t=' + Date.now();
+   document.getElementById('curves').src = '/curves?t=' + Date.now();
+ }}
+ async function api(cmd) {{ await fetch('/api/' + cmd, {{method: 'POST'}}); poll(); }}
+ async function setControl(name, value) {{
+   await fetch('/api/control?name=' + name + '&value=' + value, {{method: 'POST'}});
+ }}
+ async function poll() {{
+   const r = await fetch('/api/status'); const s = await r.json();
+   document.getElementById('status').textContent = 'step ' + s.steps;
+   if (s.playing) refresh();
+ }}
+ async function initControls() {{
+   const r = await fetch('/api/status'); const s = await r.json();
+   const div = document.getElementById('controls');
+   div.innerHTML = s.controls.map(c =>
+     `<label>${{c.name}}: <input type="range" min="${{c.lo}}" max="${{c.hi}}" step="${{c.step}}"
+       value="${{c.value}}" onchange="setControl('${{c.name}}', this.value)">
+       <span>${{c.value}}</span></label><br>`).join('');
+ }}
+ initControls(); setInterval(poll, 1000);
+</script>
+</body></html>
+"""
+
+
+class WebGui(Gui):
+    """Std-lib HTTP web interface over a `VisModel` (Dash-app parity)."""
+
+    def __init__(self, port: int = 8050, host: str = '127.0.0.1'):
+        super().__init__(asynchronous=True)
+        self.port = port
+        self.host = host
+        self._server = None
+        self._play = None
+        self._thread = None
+
+    # ----- rendering -----
+
+    def _render_field_png(self, name: str) -> bytes:
+        import matplotlib
+        matplotlib.use('Agg', force=False)
+        import matplotlib.pyplot as plt
+        from ._vis import plot
+        data = self.app.get_field(name, {})
+        fig = plot(data)
+        buf = io.BytesIO()
+        fig.savefig(buf, format='png', dpi=100)
+        plt.close(fig)
+        return buf.getvalue()
+
+    def _render_curves_png(self) -> bytes:
+        import matplotlib
+        matplotlib.use('Agg', force=False)
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(8, 3))
+        names = self.app.curve_names
+        for cn in names:
+            try:
+                frames, values = self.app.get_curve(cn)
+                ax.plot(frames, values, label=cn)
+            except Exception:
+                pass
+        if names:
+            ax.legend(loc='best', fontsize=8)
+        ax.set_xlabel('step')
+        buf = io.BytesIO()
+        fig.savefig(buf, format='png', dpi=100)
+        plt.close(fig)
+        return buf.getvalue()
+
+    # ----- control -----
+
+    def _status(self) -> dict:
+        controls = []
+        for c in self.app.controls:
+            lo, hi = c.value_range if c.value_range else (0, max(1, 2 * (c.initial or 1)))
+            controls.append({'name': c.name, 'value': c.value, 'lo': lo, 'hi': hi,
+                             'step': (hi - lo) / 100 if c.control_type is float else 1})
+        return {'steps': self.app.steps, 'playing': self._play is not None,
+                'fields': list(self.app.field_names), 'controls': controls}
+
+    def _handle_api(self, cmd: str, query: dict) -> dict:
+        if cmd == 'status':
+            return self._status()
+        if cmd == 'play':
+            if self._play is None:
+                self._play = play_async(self.app, framerate=self.config.get('framerate'))
+            return {'ok': True}
+        if cmd == 'pause':
+            if self._play is not None:
+                self._play.pause()
+                self._play = None
+            return {'ok': True}
+        if cmd == 'step':
+            self.app.progress()
+            return {'ok': True, 'steps': self.app.steps}
+        if cmd == 'benchmark':
+            n = int(query.get('n', ['10'])[0])
+            steps, elapsed = benchmark(self.app, n)
+            return {'steps': steps, 'seconds': elapsed, 'ms_per_step': 1000 * elapsed / max(1, steps)}
+        if cmd == 'control':
+            name = query['name'][0]
+            for c in self.app.controls:
+                if c.name == name:
+                    c.value = query['value'][0]
+                    return {'ok': True, 'value': c.value}
+            return {'ok': False, 'error': f'no control {name}'}
+        if cmd == 'action':
+            name = query['name'][0]
+            for a in self.app.actions:
+                if a.name == name:
+                    a()
+                    return {'ok': True}
+            return {'ok': False, 'error': f'no action {name}'}
+        return {'ok': False, 'error': f'unknown command {cmd}'}
+
+    # ----- server -----
+
+    def _make_handler(gui):  # noqa: N805 — closure over the gui instance
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass  # silent
+
+            def _send(self, payload: bytes, ctype: str, code=200):
+                self.send_response(code)
+                self.send_header('Content-Type', ctype)
+                self.send_header('Content-Length', str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                query = parse_qs(url.query)
+                try:
+                    if url.path == '/':
+                        fields = gui.app.field_names
+                        options = ''.join(f'<option value="{f}">{display_name(f)}</option>' for f in fields)
+                        page = _PAGE.format(title=gui.app.name, options=options,
+                                            first=fields[0] if fields else '')
+                        self._send(page.encode(), 'text/html')
+                    elif url.path == '/plot':
+                        name = query.get('field', [gui.app.field_names[0]])[0]
+                        self._send(gui._render_field_png(name), 'image/png')
+                    elif url.path == '/curves':
+                        self._send(gui._render_curves_png(), 'image/png')
+                    elif url.path.startswith('/api/'):
+                        result = gui._handle_api(url.path[len('/api/'):], query)
+                        self._send(json.dumps(result).encode(), 'application/json')
+                    else:
+                        self._send(b'not found', 'text/plain', 404)
+                except Exception as e:  # pragma: no cover — defensive server loop
+                    self._send(json.dumps({'error': str(e)}).encode(), 'application/json', 500)
+
+            do_POST = do_GET
+        return Handler
+
+    def show(self, block: bool = True, caller_is_main: bool = True):
+        assert self.app is not None, "call setup(model) first"
+        self._server = ThreadingHTTPServer((self.host, self.port), self._make_handler())
+        self.port = self._server.server_address[1]  # resolves port 0 → actual
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        print(f"phiflow-tpu web GUI at http://{self.host}:{self.port}")
+        if block:  # pragma: no cover
+            try:
+                self._thread.join()
+            except KeyboardInterrupt:
+                self.close()
+
+    def close(self):
+        if self._play is not None:
+            self._play.pause()
+            self._play = None
+        if self._server is not None:
+            self._server.shutdown()
+            self._server = None
+
+
+def web_view(model: VisModel, port: int = 8050, block: bool = False) -> WebGui:
+    """One-call web UI over a VisModel/Viewer (reference: show(gui='dash'))."""
+    gui = WebGui(port=port)
+    gui.setup(model)
+    gui.show(block=block)
+    return gui

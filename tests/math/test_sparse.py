@@ -46,3 +46,21 @@ def test_scalar_ops():
     m = _coo()
     m2 = m * 2
     assert np.allclose(dense(m2).numpy(('rows', '~rows')), 2 * dense(m).numpy(('rows', '~rows')))
+
+
+def test_matrix_from_function():
+    """matrix export of an affine stencil: f(x) = laplace-like shift sum + const."""
+    from phiflow_tpu.math import matrix_from_function
+
+    def f(x):
+        l, r = math.shift(x, (-1, 1), dims='x', padding=math.extrapolation.PERIODIC)
+        return l[{'shift': 0}] + r[{'shift': 0}] - 2 * x + 1.0
+
+    x0 = wrap(np.zeros(8, np.float32), spatial(x=8))
+    matrix, bias = matrix_from_function(f, x0)
+    assert is_sparse(matrix)
+    assert matrix.entries == 3 * 8  # tridiagonal periodic stencil
+    assert np.allclose(bias.numpy('x'), 1.0)
+    v = wrap(np.random.randn(8).astype(np.float32), spatial(x=8))
+    reconstructed = matrix @ v + bias
+    assert np.allclose(reconstructed.numpy('x'), f(v).numpy('x'), atol=1e-5)

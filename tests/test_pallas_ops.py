@@ -63,8 +63,9 @@ def test_window_interp_3d_matches_fori():
     X = Y = Z = 16
     padded = jnp.asarray(rng.standard_normal((X + 2 * C, Y + 2 * C, Z + 2 * C)).astype(np.float32))
     rel = jnp.asarray(rng.integers(-K, K + 1, (3, X, Y, Z)).astype(np.int32))
-    frac = jnp.asarray(rng.uniform(0, 1, (3, X, Y, Z)).astype(np.float32))
-    out, lo, up = window_interp_3d(padded, rel, frac, K, compute_extrema=True, interpret=True)
+    frac = jnp.asarray(rng.uniform(0.01, 0.99, (3, X, Y, Z)).astype(np.float32))
+    disp = rel.astype(jnp.float32) + frac
+    out, lo, up = window_interp_3d(padded, disp, K, compute_extrema=True, interpret=True)
     # reference: direct corner evaluation
     grid = np.asarray(padded)
     r = np.asarray(rel); f = np.asarray(frac)
@@ -95,8 +96,9 @@ def test_window_interp_2d_matches():
     X, Y = 16, 24
     padded = jnp.asarray(rng.standard_normal((X + 2 * C, Y + 2 * C)).astype(np.float32))
     rel = jnp.asarray(rng.integers(-K, K + 1, (2, X, Y)).astype(np.int32))
-    frac = jnp.asarray(rng.uniform(0, 1, (2, X, Y)).astype(np.float32))
-    out = window_interp_2d(padded, rel, frac, K, interpret=True)
+    frac = jnp.asarray(rng.uniform(0.01, 0.99, (2, X, Y)).astype(np.float32))
+    disp = rel.astype(jnp.float32) + frac
+    out = window_interp_2d(padded, disp, K, interpret=True)
     grid = np.asarray(padded); r = np.asarray(rel); f = np.asarray(frac)
     expected = np.zeros((X, Y), np.float32)
     for cx in (0, 1):

@@ -1,0 +1,57 @@
+"""Web GUI (Dash-app analog) smoke tests — server lifecycle, API, PNG rendering."""
+import json
+import urllib.request
+
+import numpy as np
+
+from phiflow_tpu.field import CenteredGrid
+from phiflow_tpu.math import extrapolation
+from phiflow_tpu.vis import WebGui
+from phiflow_tpu.vis._vis_base import VisModel
+
+
+class _Model(VisModel):
+    def __init__(self):
+        super().__init__(name='TestSim')
+        self.grid = CenteredGrid(lambda pos: pos.vector['x'], extrapolation.ZERO, x=8, y=8)
+        self.steps = 0
+
+    @property
+    def field_names(self):
+        return ('grid',)
+
+    def get_field(self, name, dim_selection=None):
+        return self.grid
+
+    def progress(self):
+        self.grid = self.grid * 1.1
+        self.steps += 1
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.read(), r.headers.get('Content-Type')
+
+
+def test_web_gui_roundtrip():
+    gui = WebGui(port=0)  # ephemeral port
+    gui.setup(_Model())
+    gui.show(block=False)
+    try:
+        base = f'http://127.0.0.1:{gui.port}'
+        page, ctype = _get(base + '/')
+        assert b'TestSim' in page and 'text/html' in ctype
+        status, _ = _get(base + '/api/status')
+        s = json.loads(status)
+        assert s['steps'] == 0 and s['fields'] == ['grid']
+        # step via POST
+        req = urllib.request.Request(base + '/api/step', method='POST')
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert json.loads(r.read())['steps'] == 1
+        assert gui.app.steps == 1
+        png, ctype = _get(base + '/plot?field=grid')
+        assert png[:8] == b'\x89PNG\r\n\x1a\n' and 'image/png' in ctype
+        png2, _ = _get(base + '/curves')
+        assert png2[:8] == b'\x89PNG\r\n\x1a\n'
+    finally:
+        gui.close()
