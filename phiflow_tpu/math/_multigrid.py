@@ -1,0 +1,133 @@
+"""Geometric multigrid V-cycle for uniform-grid Poisson systems.
+
+Used as a CG preconditioner for the pressure solve (reference exposes
+`Solve(preconditioner=...)` — phiml builds an ILU preconditioner on explicit
+sparse matrices; ILU is inherently sequential (triangular solves) and a poor
+fit for TPU. Geometric multigrid is the TPU-native choice: every component —
+Jacobi smoothing, mean-pool restriction, repeat prolongation — is a dense
+elementwise/stencil op that XLA fuses, and the level hierarchy is static so the
+whole V-cycle unrolls into one compiled program. Unpreconditioned CG on a 256³
+Poisson system needs O(N^{1/3}·κ) ≈ hundreds of iterations; MG-preconditioned
+CG converges in ~10-20.
+
+Symmetry (required for CG): damped-Jacobi pre/post smoothing with equal sweep
+counts, restriction R = (1/2^d)·Pᵀ of the piecewise-constant prolongation P,
+and a symmetric recursive coarse solve make the V-cycle operator symmetric
+(negative-)definite, matching the negative-definite div∘grad system.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ['make_poisson_vcycle']
+
+
+def _pad1(u: jnp.ndarray, axis: int, bc_lo: str, bc_hi: str) -> jnp.ndarray:
+    """Add one ghost layer on each side of `axis` according to the BC mode.
+    periodic: wrap; neumann (zero-gradient): edge copy; dirichlet (zero at the
+    boundary FACE of the cell-centered grid): odd reflection ghost = −edge."""
+    n = u.shape[axis]
+    first = jax.lax.slice_in_dim(u, 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(u, n - 1, n, axis=axis)
+    lo = {'periodic': last, 'neumann': first, 'dirichlet': -first}[bc_lo]
+    hi = {'periodic': first, 'neumann': last, 'dirichlet': -last}[bc_hi]
+    return jnp.concatenate([lo, u, hi], axis=axis)
+
+
+def _laplace(u: jnp.ndarray, dx2: Sequence[float], bcs) -> jnp.ndarray:
+    """d-dim 2nd-order Laplacian with ghost-cell BCs; axis 0 is batch."""
+    out = None
+    for i, (d2, (blo, bhi)) in enumerate(zip(dx2, bcs)):
+        ax = i + 1
+        up = _pad1(u, ax, blo, bhi)
+        n = u.shape[ax]
+        lo = jax.lax.slice_in_dim(up, 0, n, axis=ax)
+        hi = jax.lax.slice_in_dim(up, 2, n + 2, axis=ax)
+        term = (lo + hi - 2.0 * u) * (1.0 / d2)
+        out = term if out is None else out + term
+    return out
+
+
+def _restrict(r: jnp.ndarray) -> jnp.ndarray:
+    """Full-weighting to the 2×-coarser cell-centered grid: mean over 2^d children."""
+    shape = [r.shape[0]]
+    for n in r.shape[1:]:
+        shape.extend([n // 2, 2])
+    rs = r.reshape(shape)
+    axes = tuple(range(2, rs.ndim, 2))
+    return rs.mean(axes)
+
+
+def _prolong(e: jnp.ndarray) -> jnp.ndarray:
+    """Piecewise-constant interpolation to the 2×-finer grid (adjoint of _restrict
+    up to the 1/2^d factor — keeps the V-cycle symmetric)."""
+    for ax in range(1, e.ndim):
+        e = jnp.repeat(e, 2, axis=ax)
+    return e
+
+
+def _coarse_pinv(res: Tuple[int, ...], dx2, bcs) -> np.ndarray:
+    """Exact coarse solve: materialize the coarse Laplacian on host numpy and
+    pseudo-invert it (pinv handles the singular Neumann/periodic nullspace).
+    Stays a HOST constant — embedded as a literal, symmetric by construction."""
+    n = int(np.prod(res))
+    eye = np.eye(n, dtype=np.float32).reshape((n,) + tuple(res))
+    with jax.ensure_compile_time_eval():  # host-eval even when called inside a jit trace
+        cols = np.asarray(_laplace(jnp.asarray(eye), dx2, bcs)).reshape(n, n)
+    return np.linalg.pinv(cols.T, rcond=1e-5).astype(np.float32)
+
+
+def make_poisson_vcycle(resolution: Tuple[int, ...], dx: Tuple[float, ...], bcs,
+                        nu: int = 2, omega: float = 0.8, min_size: int = 4,
+                        max_direct: int = 512) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Build ``vcycle(b) -> u ≈ A⁻¹ b`` for the Poisson operator on a uniform
+    cell-centered grid. `b`, `u`: (batch, *resolution) float arrays.
+
+    resolution/dx: per-axis cell counts and spacings (static Python values).
+    bcs: per-axis (lower, upper) modes from {'periodic','neumann','dirichlet'}.
+    nu: pre- and post-smoothing damped-Jacobi sweeps per level.
+    The coarsest level is solved exactly via a host-precomputed pseudo-inverse
+    (≤ max_direct unknowns), or damped-Jacobi sweeps otherwise.
+    """
+    # --- build the static level hierarchy ---
+    levels = []  # (resolution, dx2)
+    res = tuple(int(n) for n in resolution)
+    d = tuple(float(x) for x in dx)
+    while True:
+        levels.append((res, tuple(x * x for x in d)))
+        if any(n % 2 for n in res) or min(res) <= min_size:
+            break
+        res = tuple(n // 2 for n in res)
+        d = tuple(2 * x for x in d)
+    coarse_res, coarse_dx2 = levels[-1]
+    n_coarse = int(np.prod(coarse_res))
+    coarse_inv = _coarse_pinv(coarse_res, coarse_dx2, bcs) if n_coarse <= max_direct else None
+
+    def smooth(u, b, dx2, sweeps):
+        diag = -2.0 * sum(1.0 / d2 for d2 in dx2)
+        w = np.float32(omega / diag)
+        for _ in range(sweeps):
+            u = u + w * (b - _laplace(u, dx2, bcs))
+        return u
+
+    def vcycle_level(b, level: int):
+        res_l, dx2 = levels[level]
+        if level + 1 == len(levels):
+            if coarse_inv is not None:
+                flat = b.reshape(b.shape[0], -1)
+                return jnp.einsum('ij,bj->bi', coarse_inv, flat).reshape(b.shape)
+            return smooth(jnp.zeros_like(b), b, dx2, 24)
+        u = smooth(jnp.zeros_like(b), b, dx2, nu)
+        r = b - _laplace(u, dx2, bcs)
+        e = _prolong(vcycle_level(_restrict(r), level + 1))
+        u = u + e
+        return smooth(u, b, dx2, nu)
+
+    def vcycle(b: jnp.ndarray) -> jnp.ndarray:
+        return vcycle_level(b, 0)
+
+    return vcycle

@@ -414,6 +414,15 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
         # project rhs onto range(A): remove mean (nullspace = constants for Poisson-Neumann)
         rhs = rhs - jnp.mean(rhs, axis=-1, keepdims=True)
 
+    # --- preconditioner: state-level callable M(state) ≈ A⁻¹ state ---
+    M_vec = None
+    if callable(solve.preconditioner):
+        def M_vec(r_vec):
+            z_vec = fmt.flatten(solve.preconditioner(fmt.unflatten(r_vec)))
+            if rank_def:
+                z_vec = z_vec - jnp.mean(z_vec, axis=-1, keepdims=True)
+            return z_vec
+
     method = solve.method
     if method in ('auto', 'CG', 'CG-adaptive', 'CG-native'):
         krylov = _cg
@@ -431,7 +440,8 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
         if krylov is None:
             x, res, it, conv = _direct(matvec, b, x0_vec, rank_deficiency=rank_def)
         else:
-            x, res, it, conv = krylov(matvec, b, x0_vec, solve.rel_tol, solve.abs_tol, solve.max_iterations)
+            x, res, it, conv = krylov(matvec, b, x0_vec, solve.rel_tol, solve.abs_tol, solve.max_iterations,
+                                      M=M_vec)
         if rank_def:
             x = x - jnp.mean(x, axis=-1, keepdims=True)
         it_box['iterations'] = it

@@ -11,6 +11,8 @@ from __future__ import annotations
 import warnings
 from typing import Callable, List, Optional, Tuple, Union
 
+import numpy as np
+
 from ..math import (
     Tensor, Solve, wrap, channel, batch, spatial, non_channel, merge_shapes, expand, copy_with,
     NUMPY, shape as shape_of,
@@ -129,6 +131,18 @@ def make_incompressible(velocity: Field,
         solve = copy_with(solve, x0=Field(div.geometry, wrap(0.), pressure_extrapolation))
     if wide_stencil is None:
         wide_stencil = not velocity.is_staggered
+    # --- multigrid preconditioning (TPU-native replacement for phiml's ILU) ---
+    # Only for UNMASKED systems: with obstacles/free surfaces the operator has
+    # identity blocks + interface Dirichlet rows that the all-domain Poisson
+    # V-cycle approximates badly (and all-Neumann MG is semidefinite, which
+    # breaks CG on the nonsingular masked system).
+    if solve.preconditioner in (None, 'auto', 'multigrid') and solve.method in ('auto', 'CG', 'CG-adaptive', 'CG-native') \
+            and order == 2 and not wide_stencil and not div.is_mesh and all_active and not obstacles:
+        M = _grid_multigrid_preconditioner(solve.x0)
+        if M is not None:
+            solve = copy_with(solve, preconditioner=M)
+    elif not callable(solve.preconditioner):
+        solve = copy_with(solve, preconditioner=None)
     # --- linear solve for pressure ---
     pressure = solve_linear(masked_laplace, div, solve, input_velocity.boundary, hard_bcs, active,
                             wide_stencil=wide_stencil, order=order)
@@ -165,6 +179,58 @@ def masked_laplace(pressure: Field,
     valid_grad = valid_grad.with_boundary(extrapolation.remove_constant_offset(valid_grad.boundary))
     div = divergence(valid_grad)
     return where(active, div, pressure) if active is not None else div
+
+
+def _bc_mode(ext: Extrapolation, dim: str, upper: bool) -> str:
+    """Classify the pressure BC on one face for the multigrid smoother."""
+    from ..math._extrapolation import _MixedExtrapolation
+    if isinstance(ext, _MixedExtrapolation):
+        ext = ext._get(dim, upper)
+    if ext == extrapolation.PERIODIC:
+        return 'periodic'
+    if isinstance(ext, ConstantExtrapolation):
+        return 'dirichlet'
+    return 'neumann'  # ZERO_GRADIENT and anything exotic: Neumann is the safe smoother BC
+
+
+def _grid_multigrid_preconditioner(x0: Field):
+    """Build a geometric-multigrid V-cycle preconditioner for the pressure system
+    on a uniform grid, or None when not applicable. The V-cycle ignores obstacle
+    masks (it approximates the unobstructed Poisson inverse) — CG convergence
+    stays exact because the matvec is the true masked operator; obstacles only
+    reduce the preconditioner's effectiveness locally."""
+    from ..geom._grid import UniformGrid
+    from ..math._multigrid import make_poisson_vcycle
+    from ..math import Tensor as _Tensor
+    geometry = x0.geometry
+    if not isinstance(geometry, UniformGrid):
+        return None
+    res_shape = geometry.resolution
+    names = res_shape.names
+    try:
+        resolution = tuple(int(s) for s in res_shape.sizes)
+        dx_np = np.asarray(geometry.dx.native(geometry.dx.shape.names)).reshape(-1)
+        dx = tuple(float(d) for d in dx_np)
+    except Exception:
+        return None  # traced geometry — skip preconditioning
+    if max(resolution) < 16:
+        return None  # plain CG converges in a handful of iterations anyway
+    pext = x0.boundary
+    bcs = tuple((_bc_mode(pext, n, False), _bc_mode(pext, n, True)) for n in names)
+    vcycle = make_poisson_vcycle(resolution, dx, bcs)
+
+    def preconditioner(r: Field) -> Field:
+        values = r.values
+        b_names = values.shape.without(names).names  # batch dims first
+        order = tuple(b_names) + tuple(names)
+        arr = values.native(order)
+        flat = arr.reshape((-1,) + resolution)
+        z = vcycle(flat)
+        from ..math._shape import merge_shapes
+        out_shape = values.shape.only(list(order), reorder=True)
+        return r.with_values(_Tensor(z.reshape(arr.shape), out_shape))
+
+    return preconditioner
 
 
 def _balance_divergence(div: Field, active: Optional[Field]) -> Field:
