@@ -60,9 +60,9 @@ def run_bench(resolution: int, dims: int = 3, steps: int = 20, warmup: int = 3, 
 def main():
     jax = _setup_jax()
     results = {}
-    for res in (64, 128, 256):
+    for res in (64, 128, 256, 512):
         try:
-            results[res] = run_bench(res, dims=3, steps=10, warmup=3)
+            results[res] = run_bench(res, dims=3, steps=10 if res < 512 else 4, warmup=3)
             sys.stderr.write(f"bench {res}^3: {results[res]['per_step_ms']:.1f} ms/step "
                              f"({results[res]['cells_per_sec'] / 1e6:.1f} Mcells/s)\n")
         except Exception as exc:  # OOM or compile failure at large sizes

@@ -1,4 +1,5 @@
 """Burgers' equation (reference recipe: examples/grids/Burgers.ipynb)."""
+import _path  # noqa: F401 — sys.path bootstrap for script execution
 from phiflow_tpu.flow import *
 
 velocity = CenteredGrid(Noise(vector='x,y'), PERIODIC, x=128, y=128, bounds=Box(x=128, y=128)) * 2

@@ -1,4 +1,5 @@
 """FLIP liquid dam break (reference recipe: docs/FLIP.ipynb)."""
+import _path  # noqa: F401 — sys.path bootstrap for script execution
 from phiflow_tpu.flow import *
 from phiflow_tpu.field import distribute_points, finite_fill, mask as field_mask
 

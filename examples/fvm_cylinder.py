@@ -1,5 +1,6 @@
 """FVM channel flow around an obstacle (reference recipe: examples/mesh/FVM_Cylinder_GMsh.ipynb,
 built with build_mesh instead of an external .msh file)."""
+import _path  # noqa: F401 — sys.path bootstrap for script execution
 from phiflow_tpu.flow import *
 from phiflow_tpu.geom._mesh import build_mesh
 

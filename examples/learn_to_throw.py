@@ -1,5 +1,6 @@
 """Differentiable-physics training (reference recipe: examples/optim/Learn_Throw.ipynb):
 train a network to predict the initial velocity that makes a projectile hit a target."""
+import _path  # noqa: F401 — sys.path bootstrap for script execution
 import numpy as np
 import jax.numpy as jnp
 

@@ -2,6 +2,7 @@
 
 Run: python examples/smoke_plume.py [resolution] [steps]
 """
+import _path  # noqa: F401 — sys.path bootstrap for script execution
 import sys
 import jax
 

@@ -53,20 +53,29 @@ def _laplace(u: jnp.ndarray, dx2: Sequence[float], bcs) -> jnp.ndarray:
 
 
 def _restrict(r: jnp.ndarray) -> jnp.ndarray:
-    """Full-weighting to the 2×-coarser cell-centered grid: mean over 2^d children."""
-    shape = [r.shape[0]]
-    for n in r.shape[1:]:
-        shape.extend([n // 2, 2])
-    rs = r.reshape(shape)
-    axes = tuple(range(2, rs.ndim, 2))
-    return rs.mean(axes)
+    """Full-weighting to the 2×-coarser cell-centered grid: mean over 2^d children.
+    Implemented with strided slices — a (…, n, 2) reshape materializes a (8,128)
+    tiled layout on TPU where the trailing 2 pads to 128 (64× HBM blow-up)."""
+    for ax in range(1, r.ndim):
+        n = r.shape[ax]
+        even = jax.lax.slice_in_dim(r, 0, n, stride=2, axis=ax)
+        odd = jax.lax.slice_in_dim(r, 1, n, stride=2, axis=ax)
+        r = 0.5 * (even + odd)
+    return r
 
 
 def _prolong(e: jnp.ndarray) -> jnp.ndarray:
     """Piecewise-constant interpolation to the 2×-finer grid (adjoint of _restrict
-    up to the 1/2^d factor — keeps the V-cycle symmetric)."""
+    up to the 1/2^d factor — keeps the V-cycle symmetric). Uses lax.pad with
+    interior padding (layout-safe interleave, same rationale as _restrict)."""
+    zero = jnp.asarray(0, e.dtype)
     for ax in range(1, e.ndim):
-        e = jnp.repeat(e, 2, axis=ax)
+        cfg = [(0, 0, 0)] * e.ndim
+        cfg[ax] = (0, 1, 1)
+        a = jax.lax.pad(e, zero, cfg)     # e0 0 e1 0 … en-1 0
+        cfg[ax] = (1, 0, 1)
+        b = jax.lax.pad(e, zero, cfg)     # 0 e0 0 e1 … 0 en-1
+        e = a + b                          # e0 e0 e1 e1 …
     return e
 
 

@@ -41,13 +41,28 @@ class SmokePlume:
             smoke0 = smoke0.with_values(expand(smoke0.values, batch_shape))
         self.smoke0 = smoke0
         self.pressure0 = CenteredGrid(0., extrapolation.BOUNDARY, bounds=bounds, **sizes)
-        # precompute the (constant) soft inflow mask eagerly — avoids embedding a
-        # resolution³ literal into the jit trace (reference recipe recomputes it,
-        # but it is time-independent). Stored on device: jax hoists device-array
-        # closure constants as runtime const-args instead of HLO literals.
-        import jax as _jax
-        mask = resample(self.inflow, to=smoke0, soft=True)
-        self.inflow_mask = mask.with_values(mask.values._op1(lambda n: _jax.device_put(n)))
+        self._names = names
+        self._resolution = resolution
+        self._inflow_center = dict(inflow_center)
+        self._inflow_radius = resolution / 10
+
+    def _inflow_mask_values(self, smoke: Field):
+        """Soft inflow mask built from iota positions INSIDE the trace — neither
+        an HLO literal nor a closure device constant (a resolution³ constant in
+        either form overflows the remote-compile request at 512³)."""
+        import jax.numpy as jnp
+        from ..math import Tensor
+        names = self._names
+        d2 = None
+        for ax, nm in enumerate(names):
+            c = jnp.arange(self._resolution, dtype=jnp.float32) + 0.5  # dx=1, origin 0
+            c = c.reshape((-1,) + (1,) * (len(names) - ax - 1))
+            t = (c - self._inflow_center[nm]) ** 2
+            d2 = t if d2 is None else d2 + t
+        dist = jnp.sqrt(d2)
+        # 1-cell smooth band ≈ resample(Sphere, soft=True) fraction-inside
+        frac = jnp.clip(0.5 + (self._inflow_radius - dist), 0., 1.)
+        return smoke.with_values(Tensor(frac, smoke.resolution))
 
     def initial_state(self) -> Tuple[Field, Field, Field]:
         return self.velocity0, self.smoke0, self.pressure0
@@ -55,7 +70,7 @@ class SmokePlume:
     def step(self, velocity: Field, smoke: Field, pressure: Optional[Field]):
         dt = self.dt
         smoke = advect.mac_cormack(smoke, velocity, dt, max_cells=self.max_cells) + \
-            self.inflow_rate * self.inflow_mask
+            self.inflow_rate * self._inflow_mask_values(smoke)
         buoyancy = resample(smoke * self.buoyancy_dir, to=velocity)
         velocity = advect.semi_lagrangian(velocity, velocity, dt, max_cells=self.max_cells) + buoyancy * dt
         velocity, pressure = fluid.make_incompressible(

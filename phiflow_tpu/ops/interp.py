@@ -81,11 +81,21 @@ def _stage_circular(padded: jnp.ndarray, C: int, aligns, lead_axes: int) -> jnp.
     return slab
 
 
+_Y_OFF = 8  # y-halo offset in the staged slab (8-aligned, ≥ C for K ≤ 7)
+
+
 def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
                      compute_extrema: bool = False, interpret: bool = False):
     """See module docstring. padded: (X+2C, Y+2C, Z+2C); disp3: (3, X, Y, Z).
     Arbitrary Y/Z sizes: aux/grid are zero-padded to (8,128)-aligned shapes and
-    the outputs cropped (δ=0 in the pad region reads slab values — harmless)."""
+    the outputs cropped (δ=0 in the pad region reads slab values — harmless).
+
+    Tiling: 2D pallas grid over (x, y). x-tiles are sliced from the slab with a
+    dynamic leading-axis start; y-tiles carry an explicit ±8 halo in the staged
+    slab (sublane-aligned, so the post-roll window slice [8:8+YT] stays legal);
+    z keeps the circular halo layout. y-tiling is what keeps the per-step VMEM
+    footprint under the 16MB scoped limit at 512³ (full 512×512 planes + DMA
+    double-buffering overflow it)."""
     C = K + 1
     X, Y0, Z0 = disp3.shape[1], disp3.shape[2], disp3.shape[3]
     Y = ((Y0 + 7) // 8) * 8
@@ -93,16 +103,38 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
     disp3 = jnp.clip(disp3, -float(K), float(K + 1))
     if (Y, Z) != (Y0, Z0):
         disp3 = jnp.pad(disp3, ((0, 0), (0, 0), (0, Y - Y0), (0, Z - Z0)))
-        padded = jnp.pad(padded, ((0, 0), (0, Y - Y0), (0, Z - Z0)))
-    slab_full = _stage_circular(padded, C, (8, 128), lead_axes=1)
-    Ys, Zs = slab_full.shape[1], slab_full.shape[2]
-    # VMEM budget (f32 elements)
-    budget = (5 * 1024 * 1024) // 4  # leave headroom for Mosaic roll temporaries (16MB scoped VMEM)
-    per_row = Ys * Zs + (3 + (3 if compute_extrema else 1)) * Y * Z
-    TILE = max(1, min(X, budget // per_row - 2 * C))
-    while X % TILE:
-        TILE -= 1
-    grid = (X // TILE,)
+        padded = jnp.pad(padded, ((0, 0), (0, 0 if Y == Y0 else Y - Y0), (0, 0 if Z == Z0 else Z - Z0)))
+    # stage: z circular (pad to aligned total, rotate by -C), y at fixed offset 8
+    z_total = ((Z + 2 * C + 127) // 128) * 128
+    zpad = jnp.pad(padded, ((0, 0), (0, 0), (0, z_total - padded.shape[2])))
+    zslab = jnp.roll(zpad, -C, axis=2)
+    Ys = Y + 2 * _Y_OFF
+    Zs = z_total
+    slab_full = jnp.zeros((padded.shape[0], Ys, Zs), padded.dtype)
+    slab_full = jax.lax.dynamic_update_slice(slab_full, zslab, (0, _Y_OFF - C, 0))
+    n_out = 3 if compute_extrema else 1
+    # --- pick (YT, TILE) to fit the 16MB scoped-VMEM limit ---
+    budget = (13 * 1024 * 1024) // 4  # f32 elems, with margin for Mosaic spills
+    YT = Y
+    TILE = 1
+
+    def vmem_elems(tile, yt):
+        slab_b = (tile + 2 * C) * (yt + 2 * _Y_OFF) * Zs   # run_scoped slab
+        io_b = 2 * (3 + n_out) * tile * yt * Z             # aux+out blocks, double-buffered
+        carry_b = n_out * tile * yt * Z                    # fori_loop carries
+        roll_b = 2 * slab_b                                # pltpu.roll temporaries per body
+        return slab_b + io_b + carry_b + roll_b
+    while YT > 8 and vmem_elems(1, YT) > budget:
+        nxt = YT // 2
+        while nxt > 8 and (Y % nxt or nxt % 8):
+            nxt -= 8
+        if nxt < 8 or Y % nxt:
+            break
+        YT = nxt
+    for t in range(1, X + 1):
+        if X % t == 0 and vmem_elems(t, YT) <= budget:
+            TILE = t
+    grid = (X // TILE, Y // YT)
     big = np.float32(3.4e38)
 
     _roll = _make_roll(interpret)
@@ -110,9 +142,9 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
 
     def compute(slab, disp_ref, out_refs):
         dx_, dy_, dz_ = disp_ref[0], disp_ref[1], disp_ref[2]
-        acc0 = jnp.zeros((TILE, Y, Z), jnp.float32)
-        lo0 = jnp.full((TILE, Y, Z), big, jnp.float32)
-        up0 = jnp.full((TILE, Y, Z), -big, jnp.float32)
+        acc0 = jnp.zeros((TILE, YT, Z), jnp.float32)
+        lo0 = jnp.full((TILE, YT, Z), big, jnp.float32)
+        up0 = jnp.full((TILE, YT, Z), -big, jnp.float32)
 
         # fori_loop over all (2K+2)^d shifts: ONE body → Mosaic reuses the roll
         # temporaries instead of stacking 216 live buffers (VMEM-bound otherwise)
@@ -123,7 +155,7 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
             sx = (k // (W * W)) - K
             x_slab = slab[pl.ds(C + sx, TILE), :, :]  # ref load with dynamic start (leading axis)
             rolled = _roll(_roll(x_slab, -sy, 1), -sz, 2)
-            window = rolled[:, :Y, :Z]
+            window = rolled[:, _Y_OFF:_Y_OFF + YT, :Z]
             ax = jnp.abs(dx_ - sx)
             ay = jnp.abs(dy_ - sy)
             az = jnp.abs(dz_ - sz)
@@ -145,23 +177,26 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
         def kernel(slab_hbm, disp_ref, *out_refs):
             def body(slab_vmem, sem):
                 cp = pltpu.make_async_copy(
-                    slab_hbm.at[pl.ds(pl.program_id(0) * TILE, TILE + 2 * C)], slab_vmem, sem)
+                    slab_hbm.at[pl.ds(pl.program_id(0) * TILE, TILE + 2 * C),
+                                pl.ds(pl.program_id(1) * YT, YT + 2 * _Y_OFF)],
+                    slab_vmem, sem)
                 cp.start()
                 cp.wait()
                 compute(slab_vmem, disp_ref, out_refs)
-            pl.run_scoped(body, slab_vmem=pltpu.VMEM((TILE + 2 * C, Ys, Zs), jnp.float32),
+            pl.run_scoped(body, slab_vmem=pltpu.VMEM((TILE + 2 * C, YT + 2 * _Y_OFF, Zs), jnp.float32),
                           sem=pltpu.SemaphoreType.DMA)
         in0_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        aux_spec = pl.BlockSpec((3, TILE, Y, Z), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((TILE, Y, Z), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        aux_spec = pl.BlockSpec((3, TILE, YT, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((TILE, YT, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     else:
         def kernel(slab_hbm, disp_ref, *out_refs):
-            compute(slab_hbm.at[pl.ds(pl.program_id(0) * TILE, TILE + 2 * C)], disp_ref, out_refs)
+            compute(slab_hbm.at[pl.ds(pl.program_id(0) * TILE, TILE + 2 * C),
+                                pl.ds(pl.program_id(1) * YT, YT + 2 * _Y_OFF)],
+                    disp_ref, out_refs)
         in0_spec = pl.BlockSpec()
-        aux_spec = pl.BlockSpec((3, TILE, Y, Z), lambda i: (0, i, 0, 0))
-        out_spec = pl.BlockSpec((TILE, Y, Z), lambda i: (i, 0, 0))
+        aux_spec = pl.BlockSpec((3, TILE, YT, Z), lambda i, j: (0, i, j, 0))
+        out_spec = pl.BlockSpec((TILE, YT, Z), lambda i, j: (i, j, 0))
 
-    n_out = 3 if compute_extrema else 1
     out_shapes = tuple(jax.ShapeDtypeStruct((X, Y, Z), jnp.float32) for _ in range(n_out))
     result = pl.pallas_call(
         kernel,
