@@ -243,7 +243,9 @@ def mesh_from_numpy(points: Sequence, polygons: Sequence, boundaries: Dict[str, 
     labels = tuple(axes[:d])
     polygons = [tuple(int(v) for v in poly) for poly in polygons]
     n_cells = len(polygons)
-    assert d == 2, "mesh_from_numpy currently supports 2D polygonal meshes (3D in later rounds)"
+    if d == 3:
+        return _mesh_from_numpy_3d(points, polygons, boundaries or {}, element_rank, cell_dim, labels)
+    assert d == 2, f"mesh_from_numpy supports 2D polygonal and 3D polyhedral meshes, got d={d}"
     # --- native fast path (C++ face matcher, phiflow_tpu/native/meshbuild.cpp) ---
     native = _native_face_tables(points, polygons, boundaries or {})
     if native is not None:
@@ -340,6 +342,120 @@ def mesh_from_numpy(points: Sequence, polygons: Sequence, boundaries: Dict[str, 
     )
 
 
+# standard volume-element face templates by vertex count (SU2/VTK vertex order;
+# reference builds faces per element type in phi/geom/_mesh.py mesh_from_numpy)
+_FACES_3D = {
+    4: [(0, 2, 1), (0, 1, 3), (1, 2, 3), (0, 3, 2)],                                  # tetrahedron
+    5: [(0, 3, 2, 1), (0, 1, 4), (1, 2, 4), (2, 3, 4), (3, 0, 4)],                    # pyramid
+    6: [(0, 2, 1), (3, 4, 5), (0, 1, 4, 3), (1, 2, 5, 4), (2, 0, 3, 5)],              # wedge/prism
+    8: [(0, 3, 2, 1), (4, 5, 6, 7), (0, 1, 5, 4), (1, 2, 6, 5), (2, 3, 7, 6), (3, 0, 4, 7)],  # hexahedron
+}
+
+
+def _poly_face_geometry(pts: np.ndarray):
+    """Area, centroid, and (unnormalized-orientation) unit normal of a planar
+    polygon in 3D via fan triangulation around the vertex mean."""
+    m = pts.mean(0)
+    total_area = 0.0
+    centroid = np.zeros(3, np.float64)
+    normal = np.zeros(3, np.float64)
+    for i in range(len(pts)):
+        a, b = pts[i], pts[(i + 1) % len(pts)]
+        cr = np.cross(a - m, b - m)
+        tri_area = 0.5 * np.linalg.norm(cr)
+        total_area += tri_area
+        centroid += tri_area * (m + a + b) / 3
+        normal += 0.5 * cr
+    if total_area > 0:
+        centroid /= total_area
+    n_norm = np.linalg.norm(normal)
+    normal = normal / n_norm if n_norm > 0 else normal
+    return total_area, centroid.astype(np.float32), normal.astype(np.float32)
+
+
+def _mesh_from_numpy_3d(points: np.ndarray, elements, boundaries: Dict[str, list],
+                        element_rank, cell_dim, labels) -> Mesh:
+    """3D polyhedral mesh from volume elements (tet/pyramid/wedge/hex by vertex
+    count). Faces shared by two cells become interior faces; the rest map to
+    named boundaries (vertex-set lookup) or 'boundary'. Same padded dense face
+    tables as 2D — TPU-friendly fixed-shape gathers."""
+    n_cells = len(elements)
+    cell_faces = []  # per cell: list of global-vertex face tuples
+    for poly in elements:
+        assert len(poly) in _FACES_3D, f"unsupported 3D element with {len(poly)} vertices (tet/pyr/wedge/hex)"
+        cell_faces.append([tuple(poly[i] for i in tpl) for tpl in _FACES_3D[len(poly)]])
+    # --- cell centroids & volumes via outward-oriented tet decomposition ---
+    centers = np.zeros((n_cells, 3), np.float32)
+    volumes = np.zeros((n_cells,), np.float32)
+    for ci, poly in enumerate(elements):
+        vm = points[list(poly)].mean(0)
+        vol = 0.0
+        cent = np.zeros(3, np.float64)
+        for face in cell_faces[ci]:
+            pts = points[list(face)]
+            f_area, f_cent, f_n = _poly_face_geometry(pts)
+            if np.dot(f_n, f_cent - vm) < 0:
+                pts = pts[::-1]  # flip to outward orientation
+            fm = pts.mean(0)
+            for i in range(len(pts)):
+                a, b = pts[i], pts[(i + 1) % len(pts)]
+                tet_v = np.dot(fm - vm, np.cross(a - vm, b - vm)) / 6.0
+                vol += tet_v
+                cent += tet_v * (vm + fm + a + b) / 4.0
+        volumes[ci] = abs(vol)
+        centers[ci] = (cent / vol if vol != 0 else vm).astype(np.float32)
+    # --- face matching by sorted vertex set ---
+    face_map: Dict[tuple, list] = {}
+    for ci in range(n_cells):
+        for k, face in enumerate(cell_faces[ci]):
+            face_map.setdefault(tuple(sorted(face)), []).append((ci, k))
+    boundary_ids = {name: i for i, name in enumerate(boundaries)}
+    face_boundary = {}
+    for name, faces in boundaries.items():
+        for f in faces:
+            face_boundary[tuple(sorted(int(v) for v in f))] = boundary_ids[name]
+    max_faces = max(len(f) for f in cell_faces)
+    neighbors = np.full((n_cells, max_faces), -1, np.int32)
+    areas = np.zeros((n_cells, max_faces), np.float32)
+    f_centers = np.zeros((n_cells, max_faces, 3), np.float32)
+    normals = np.zeros((n_cells, max_faces, 3), np.float32)
+    distances = np.ones((n_cells, max_faces), np.float32)
+    for key, users in face_map.items():
+        for ci, k in users:
+            area, cent, normal = _poly_face_geometry(points[list(cell_faces[ci][k])])
+            if np.dot(normal, cent - centers[ci]) < 0:
+                normal = -normal
+            areas[ci, k] = area
+            f_centers[ci, k] = cent
+            normals[ci, k] = normal
+            if len(users) == 2:
+                other = users[0][0] if users[1][0] == ci else users[1][0]
+                neighbors[ci, k] = other
+                distances[ci, k] = float(np.linalg.norm(centers[other] - centers[ci]))
+            else:
+                bid = face_boundary.get(key)
+                if bid is None:
+                    bid = boundary_ids.setdefault('boundary', len(boundary_ids))
+                neighbors[ci, k] = -(2 + bid)
+                distances[ci, k] = 2 * float(np.linalg.norm(cent - centers[ci]))
+    cells = cell_dim.with_size(n_cells)
+    faces_dim = dual(faces=max_faces)
+    vec = channel(vector=labels)
+    return Mesh(
+        vertices=wrap(points, instance(vertices=points.shape[0]), vec),
+        element_lists=[tuple(p) for p in elements],
+        boundaries=boundary_ids,
+        cell_centers=wrap(centers, cells, vec),
+        cell_volumes=wrap(volumes, cells),
+        neighbors=wrap(neighbors, cells, faces_dim),
+        face_areas_t=wrap(areas, cells, faces_dim),
+        face_centers_t=wrap(f_centers, cells, faces_dim, vec),
+        face_normals_t=wrap(normals, cells, faces_dim, vec),
+        neighbor_distances=wrap(distances, cells, faces_dim),
+        element_rank=element_rank if element_rank is not None else 3,
+    )
+
+
 def mesh(vertices, elements, boundaries=None, element_rank=None, periodic=None,
          face_format='dense', max_cell_walk=None) -> Mesh:
     """Create a mesh from tensors/arrays (reference: phi/geom/_mesh.py:662)."""
@@ -418,9 +534,17 @@ def build_mesh(bounds: Box = None, resolution=None, obstacles=None,
 # file loaders (self-contained parsers; the reference shells out to meshio)
 # ---------------------------------------------------------------------------
 
+# VTK element types (SU2 uses them): id → number of vertices
+_VTK_NVERTS = {3: 2, 5: 3, 9: 4, 10: 4, 12: 8, 13: 6, 14: 5}
+_VTK_VOLUME = {10, 12, 13, 14}  # tetra, hexahedron, prism/wedge, pyramid
+_VTK_SURFACE_2D = {5, 9}        # triangle, quad — volume elements in 2D, boundary faces in 3D
+
+
 def load_su2(file_or_mesh: str, cell_dim=instance('cells'), face_format='dense') -> Mesh:
     """Parse an SU2 ASCII mesh (reference analog: phi/geom/_mesh.py:512).
-    Supports 2D meshes with triangle (VTK 5) and quad (VTK 9) elements."""
+    2D: triangle (VTK 5) / quad (VTK 9) volume elements, line boundary markers.
+    3D: tetra (10) / hexahedron (12) / prism (13) / pyramid (14) volume elements,
+    triangle/quad boundary markers."""
     with open(file_or_mesh) as f:
         lines = [l.strip() for l in f.readlines()]
     i = 0
@@ -438,18 +562,17 @@ def load_su2(file_or_mesh: str, cell_dim=instance('cells'), face_format='dense')
                 i += 1
                 parts = lines[i].split()
                 vtk = int(parts[0])
-                if vtk == 5:
-                    elements.append(tuple(int(p) for p in parts[1:4]))
-                elif vtk == 9:
-                    elements.append(tuple(int(p) for p in parts[1:5]))
-                else:
-                    raise NotImplementedError(f"SU2 element type {vtk}")
+                if vtk not in _VTK_NVERTS or (ndime == 2 and vtk not in _VTK_SURFACE_2D) \
+                        or (ndime == 3 and vtk not in _VTK_VOLUME):
+                    raise NotImplementedError(f"SU2 volume element type {vtk} in {ndime}D")
+                nv = _VTK_NVERTS[vtk]
+                elements.append(tuple(int(p) for p in parts[1:1 + nv]))
         elif line.startswith('NPOIN'):
             npoin = int(line.split('=')[1])
             for k in range(npoin):
                 i += 1
                 parts = lines[i].split()
-                points.append([float(parts[0]), float(parts[1])][:max(2, ndime)])
+                points.append([float(p) for p in parts[:ndime]] if ndime else [float(parts[0]), float(parts[1])])
         elif line.startswith('NMARK'):
             nmark = int(line.split('=')[1])
             for m in range(nmark):
@@ -457,13 +580,15 @@ def load_su2(file_or_mesh: str, cell_dim=instance('cells'), face_format='dense')
                 tag = lines[i].split('=')[1].strip()
                 i += 1
                 n_el = int(lines[i].split('=')[1])
-                edges = []
+                faces = []
                 for k in range(n_el):
                     i += 1
                     parts = lines[i].split()
-                    if int(parts[0]) == 3:  # line element
-                        edges.append((int(parts[1]), int(parts[2])))
-                boundaries[tag] = edges
+                    vtk = int(parts[0])
+                    nv = _VTK_NVERTS.get(vtk)
+                    if nv:  # line (2D boundary) or tri/quad (3D boundary)
+                        faces.append(tuple(int(p) for p in parts[1:1 + nv]))
+                boundaries[tag] = faces
         i += 1
     return mesh_from_numpy(points, elements, boundaries, element_rank=ndime, cell_dim=cell_dim)
 
@@ -473,16 +598,15 @@ def load_gmsh(file: str, boundary_names: Sequence[str] = None, cell_dim=instance
     """Parse a Gmsh 2.2 ASCII .msh file (reference analog: phi/geom/_mesh.py:541)."""
     with open(file) as f:
         lines = [l.strip() for l in f.readlines()]
-    points = []
-    elements = []
-    boundary_edges: Dict[int, list] = {}
+    raw_points = []
+    raw_elements = []  # (etype, phys, verts)
     i = 0
     while i < len(lines):
         if lines[i] == '$Nodes':
             n = int(lines[i + 1])
             for k in range(n):
                 parts = lines[i + 2 + k].split()
-                points.append([float(parts[1]), float(parts[2])])
+                raw_points.append([float(parts[1]), float(parts[2]), float(parts[3])])
             i += n + 2
         elif lines[i] == '$Elements':
             n = int(lines[i + 1])
@@ -491,23 +615,33 @@ def load_gmsh(file: str, boundary_names: Sequence[str] = None, cell_dim=instance
                 etype = parts[1]
                 ntags = parts[2]
                 tags = parts[3:3 + ntags]
-                verts = parts[3 + ntags:]
-                phys = tags[0] if tags else 0
-                if etype == 1:  # 2-node line → boundary edge
-                    boundary_edges.setdefault(phys, []).append((verts[0] - 1, verts[1] - 1))
-                elif etype == 2:  # triangle
-                    elements.append(tuple(v - 1 for v in verts))
-                elif etype == 3:  # quad
-                    elements.append(tuple(v - 1 for v in verts))
+                verts = tuple(v - 1 for v in parts[3 + ntags:])
+                raw_elements.append((etype, tags[0] if tags else 0, verts))
             i += n + 2
         else:
             i += 1
+    # gmsh types: 1=line 2=tri 3=quad 4=tet 5=hex 6=prism 7=pyramid
+    is_3d = any(e[0] in (4, 5, 6, 7) for e in raw_elements)
+    elements = []
+    boundary_groups: Dict[int, list] = {}
+    for etype, phys, verts in raw_elements:
+        if is_3d:
+            if etype in (4, 5, 6, 7):
+                elements.append(verts)
+            elif etype in (2, 3):  # surface → boundary face
+                boundary_groups.setdefault(phys, []).append(verts)
+        else:
+            if etype in (2, 3):
+                elements.append(verts)
+            elif etype == 1:  # line → boundary edge
+                boundary_groups.setdefault(phys, []).append(verts)
+    points = [p[:3] if is_3d else p[:2] for p in raw_points]
     names = {}
-    phys_ids = sorted(boundary_edges)
+    phys_ids = sorted(boundary_groups)
     for idx, phys in enumerate(phys_ids):
         name = boundary_names[idx] if boundary_names and idx < len(boundary_names) else f"boundary{phys}"
-        names[name] = boundary_edges[phys]
-    return mesh_from_numpy(points, elements, names, element_rank=2, cell_dim=cell_dim)
+        names[name] = boundary_groups[phys]
+    return mesh_from_numpy(points, elements, names, element_rank=3 if is_3d else 2, cell_dim=cell_dim)
 
 
 def load_stl(file: str, face_dim=instance('faces')):

@@ -109,3 +109,121 @@ MARKER_ELEMS= 4
     assert m.cell_count == 2
     assert abs(float(math.sum(m.volume)) - 1.0) < 1e-5
     assert 'walls' in m.boundaries
+
+
+# --- 3D polyhedral meshes ---
+
+def _hex_grid_3d(nx=2, ny=2, nz=2):
+    """Structured hex mesh of the unit cube."""
+    xs = np.linspace(0, 1, nx + 1)
+    ys = np.linspace(0, 1, ny + 1)
+    zs = np.linspace(0, 1, nz + 1)
+    vid = lambda i, j, k: (i * (ny + 1) + j) * (nz + 1) + k
+    points = [(x, y, z) for x in xs for y in ys for z in zs]
+    elements = []
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                elements.append((vid(i, j, k), vid(i + 1, j, k), vid(i + 1, j + 1, k), vid(i, j + 1, k),
+                                 vid(i, j, k + 1), vid(i + 1, j, k + 1), vid(i + 1, j + 1, k + 1), vid(i, j + 1, k + 1)))
+    return mesh_from_numpy(points, elements)
+
+
+def test_mesh_3d_hex_geometry():
+    m = _hex_grid_3d(2, 2, 2)
+    assert m.spatial_rank == 3
+    assert m.cell_count == 8
+    assert abs(float(math.sum(m.volume)) - 1.0) < 1e-5
+    vols = np.asarray(m.volume.native())
+    assert np.allclose(vols, 1 / 8, atol=1e-6)
+    # every cell of a 2^3 grid touches 3 interior faces
+    interior_counts = np.asarray(math.sum(m.interior_mask, '~faces').native())
+    assert np.all(interior_counts == 3)
+    # interior face area = (1/2)^2
+    areas = np.asarray(m.face_areas.native(('cells', '~faces')))
+    assert np.allclose(areas[areas > 0], 0.25, atol=1e-6)
+
+
+def test_mesh_3d_tet_volume():
+    points = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)]
+    m = mesh_from_numpy(points, [(0, 1, 2, 3)])
+    assert abs(float(math.sum(m.volume)) - 1 / 6) < 1e-6
+    # closed-surface check: sum of area-weighted outward normals = 0
+    n = np.asarray(m.face_normals.native(('cells', '~faces', 'vector')))
+    a = np.asarray(m.face_areas.native(('cells', '~faces')))
+    assert np.allclose((n * a[..., None]).sum(1), 0, atol=1e-6)
+
+
+def test_mesh_3d_gradient_and_laplace():
+    m = _hex_grid_3d(4, 4, 4)
+    f = Field(m, 2 * m.center.vector['z'], extrapolation.ZERO_GRADIENT)
+    grad = green_gauss_gradient(f)
+    interior = np.asarray((math.sum(m.interior_mask, '~faces') >= 6).native())
+    gz = np.asarray(grad.values[{'vector': 'z'}].native())
+    if interior.any():
+        assert np.allclose(gz[interior], 2.0, atol=1e-4)
+    lap = laplace(Field(m, m.center.vector['x'] ** 2, extrapolation.ZERO_GRADIENT))
+    inner = np.asarray((math.sum(m.interior_mask, '~faces') >= 6).native())
+    lv = np.asarray(lap.values.native())
+    if inner.any():
+        assert np.allclose(lv[inner], 2.0, atol=1e-3)
+
+
+def test_load_su2_3d(tmp_path):
+    """Single unit-cube hexahedron with named boundary quads."""
+    su2 = """NDIME= 3
+NELEM= 1
+12 0 1 2 3 4 5 6 7 0
+NPOIN= 8
+0 0 0
+1 0 0
+1 1 0
+0 1 0
+0 0 1
+1 0 1
+1 1 1
+0 1 1
+NMARK= 1
+MARKER_TAG= bottom
+MARKER_ELEMS= 1
+9 0 1 2 3
+"""
+    path = tmp_path / 'cube.su2'
+    path.write_text(su2)
+    from phiflow_tpu.geom._mesh import load_su2
+    m = load_su2(str(path))
+    assert m.spatial_rank == 3
+    assert m.cell_count == 1
+    assert abs(float(math.sum(m.volume)) - 1.0) < 1e-5
+    assert 'bottom' in m.boundaries and 'boundary' in m.boundaries  # 5 unnamed faces
+
+
+def test_load_gmsh_3d(tmp_path):
+    """Two tets filling a unit... pyramid-ish region; checks 3D detection."""
+    msh = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+5
+1 0 0 0
+2 1 0 0
+3 0 1 0
+4 0 0 1
+5 1 1 1
+$EndNodes
+$Elements
+3
+1 4 2 1 1 1 2 3 4
+2 4 2 1 1 2 3 4 5
+3 2 2 2 2 1 2 3
+$EndElements
+"""
+    path = tmp_path / 'tets.msh'
+    path.write_text(msh)
+    from phiflow_tpu.geom._mesh import load_gmsh
+    m = load_gmsh(str(path), boundary_names=['floor'])
+    assert m.spatial_rank == 3
+    assert m.cell_count == 2
+    assert 'floor' in m.boundaries
+    vols = np.asarray(m.volume.native())
+    assert np.all(vols > 0)
