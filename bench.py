@@ -30,8 +30,12 @@ def run_bench(resolution: int, dims: int = 3, steps: int = 20, warmup: int = 3, 
     import numpy as np
 
     def hard_sync(field):
-        # value fetch: block_until_ready can return early on tunneled backends
-        return float(np.asarray(field.values.native()).sum())
+        # value fetch: block_until_ready can return early on tunneled backends.
+        # Reduce ON DEVICE and fetch one scalar — np.asarray(full_field) would
+        # pull resolution³ floats through the tunnel (512MB at 512³) and
+        # dominate the measurement.
+        import jax.numpy as jnp
+        return float(np.asarray(jnp.sum(field.values.native())))
 
     step = jax.jit(model.step)
     t_compile = time.perf_counter()

@@ -120,7 +120,13 @@ def mesh_divergence(field: Field, order=2, upwind=None) -> Field:
 
 def mesh_laplace(field: Field, gradient=None, order=2, upwind=None, correct_skew=False) -> Field:
     """Δv via two-point flux: (1/V) Σ_f (v_n − v_c)/d_f A_f
-    (reference: phi/field/_field_math.py:93-117; skew correction in later rounds)."""
+    (reference: phi/field/_field_math.py:93-117 with skew correction).
+
+    correct_skew=True adds the over-relaxed non-orthogonal correction: the
+    orthogonal part is scaled by 1/(n̂·ê) (ê = unit center-to-center direction)
+    and the remaining tangential gradient (n̂ − ê/(n̂·ê)) · ∇v_f is evaluated
+    from the face-averaged Green-Gauss gradient — exact on skewed meshes up to
+    the gradient reconstruction order."""
     mesh: Mesh = field.geometry
     if field.shape.channel:
         comps = {}
@@ -130,8 +136,32 @@ def mesh_laplace(field: Field, gradient=None, order=2, upwind=None, correct_skew
         return Field(mesh, ops.stack(comps, channel('vector')), field.boundary.spatial_gradient())
     v_c, v_n, v_dir, interior, dirichlet, valid = _face_value_tables(field)
     dist = mesh.neighbor_distances
-    # interior: (v_n − v_c)/dist; Dirichlet boundary: (v_b − v_c)/(dist/2); zero-grad: 0
-    interior_flux = interior * (v_n - v_c) / dist
+    if correct_skew:
+        labels = mesh.shape.get_labels('vector')
+        grad_c = (gradient if gradient is not None else green_gauss_gradient(field)).values
+        # unit center→neighbor direction ê and face-averaged gradient per face
+        orth_scale = None   # n̂·ê
+        tang = None         # Σ_d ∇v_f,d (n̂_d − ê_d/(n̂·ê)) assembled in two passes
+        e_comp = {}
+        gf_comp = {}
+        for d in labels:
+            c_d = mesh.center[{'vector': d}]
+            e_d = (mesh.gather_neighbor(c_d) - c_d) / dist
+            e_comp[d] = e_d
+            g_d = grad_c[{'vector': d}]
+            gf_comp[d] = 0.5 * (g_d + mesh.gather_neighbor(g_d))
+            nd = mesh.face_normals[{'vector': d}]
+            term = nd * e_d
+            orth_scale = term if orth_scale is None else orth_scale + term
+        alpha = orth_scale / ops.maximum(orth_scale * orth_scale, 1e-12)  # sign-preserving 1/(n̂·ê)
+        for d in labels:
+            nd = mesh.face_normals[{'vector': d}]
+            t = gf_comp[d] * (nd - alpha * e_comp[d])
+            tang = t if tang is None else tang + t
+        interior_flux = interior * (alpha * (v_n - v_c) / dist + tang)
+    else:
+        # interior: (v_n − v_c)/dist (orthogonal two-point flux)
+        interior_flux = interior * (v_n - v_c) / dist
     dirichlet_flux = dirichlet * (v_dir - v_c) / (dist * 0.5)
     total = ops.sum_((interior_flux + dirichlet_flux) * mesh.face_areas, '~faces')
     return Field(mesh, total / mesh.volume, field.boundary.spatial_gradient())

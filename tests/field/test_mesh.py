@@ -227,3 +227,25 @@ $EndElements
     assert 'floor' in m.boundaries
     vols = np.asarray(m.volume.native())
     assert np.all(vols > 0)
+
+
+def test_mesh_laplace_skew_correction():
+    """On a skewed quad mesh, the non-orthogonal correction must reduce the
+    laplace error vs. the plain two-point flux (Δ(x²+y²) = 4)."""
+    n = 12
+    xs, ys = np.meshgrid(np.linspace(0, 1, n + 1), np.linspace(0, 1, n + 1), indexing='ij')
+    # deterministic skew of interior vertices
+    pert_x = 0.25 / n * np.sin(7.0 * ys) * np.cos(5.0 * xs)
+    pert_y = 0.25 / n * np.cos(6.0 * xs) * np.sin(4.0 * ys)
+    xs[1:-1, 1:-1] += pert_x[1:-1, 1:-1]
+    ys[1:-1, 1:-1] += pert_y[1:-1, 1:-1]
+    points = np.stack([xs.ravel(), ys.ravel()], -1)
+    vid = lambda i, j: i * (n + 1) + j
+    quads = [(vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1))
+             for i in range(n) for j in range(n)]
+    m = mesh_from_numpy(points, quads)
+    f = Field(m, m.center.vector['x'] ** 2 + m.center.vector['y'] ** 2, extrapolation.ZERO_GRADIENT)
+    interior = np.asarray((math.sum(m.interior_mask, '~faces') >= 4).native())
+    err_plain = np.abs(np.asarray(laplace(f, correct_skew=False).values.native())[interior] - 4).mean()
+    err_skew = np.abs(np.asarray(laplace(f, correct_skew=True).values.native())[interior] - 4).mean()
+    assert err_skew < err_plain * 0.7, (err_plain, err_skew)
