@@ -31,6 +31,9 @@ def verify():
     print("basic field ops: OK")
 
 
+from ._troubleshoot import troubleshoot, assert_minimal_config
+
+
 def detect_backends():
     import jax
     return [f"jax-{d.platform}" for d in jax.devices()]

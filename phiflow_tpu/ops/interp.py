@@ -115,13 +115,14 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
     n_out = 3 if compute_extrema else 1
     # --- pick (YT, TILE) to fit the 16MB scoped-VMEM limit ---
     budget = (13 * 1024 * 1024) // 4  # f32 elems, with margin for Mosaic spills
+    W = 2 * K + 2
     YT = Y
     TILE = 1
 
     def vmem_elems(tile, yt):
         slab_b = (tile + 2 * C) * (yt + 2 * _Y_OFF) * Zs   # run_scoped slab
         io_b = 2 * (3 + n_out) * tile * yt * Z             # aux+out blocks, double-buffered
-        carry_b = n_out * tile * yt * Z                    # fori_loop carries
+        carry_b = (n_out + 2 + W + (W if compute_extrema else 0)) * tile * yt * Z  # carries + partials + weight planes
         roll_b = 2 * slab_b                                # pltpu.roll temporaries per body
         return slab_b + io_b + carry_b + roll_b
     while YT > 8 and vmem_elems(1, YT) > budget:
@@ -146,28 +147,49 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
         lo0 = jnp.full((TILE, YT, Z), big, jnp.float32)
         up0 = jnp.full((TILE, YT, Z), -big, jnp.float32)
 
-        # fori_loop over all (2K+2)^d shifts: ONE body → Mosaic reuses the roll
-        # temporaries instead of stacking 216 live buffers (VMEM-bound otherwise)
-        def body(k, carry):
-            acc, lo_acc, up_acc = carry
-            sz = k % W - K
-            sy = (k // W) % W - K
-            sx = (k // (W * W)) - K
-            x_slab = slab[pl.ds(C + sx, TILE), :, :]  # ref load with dynamic start (leading axis)
-            rolled = _roll(_roll(x_slab, -sy, 1), -sz, 2)
-            window = rolled[:, _Y_OFF:_Y_OFF + YT, :Z]
-            ax = jnp.abs(dx_ - sx)
-            ay = jnp.abs(dy_ - sy)
-            az = jnp.abs(dz_ - sz)
-            w = (jnp.maximum(0., 1. - ax) * jnp.maximum(0., 1. - ay) * jnp.maximum(0., 1. - az))
-            acc = acc + window * w
+        # Hierarchical accumulation out = Σ_sx wx · Σ_sz wz · Σ_sy wy · window,
+        # with the 6 y-weight planes (216 uses each) PRECOMPUTED once — the
+        # inner body reduces to roll + fma, which is the VPU roofline for this
+        # op. The inner y loop is Python-unrolled (static plane indexing); x and
+        # z stay fori_loops so Mosaic reuses the roll buffers across iterations.
+        wys = []
+        yms = []
+        for iy in range(W):
+            ay = jnp.abs(dy_ - (iy - K))
+            wys.append(jnp.maximum(0., 1. - ay))
             if compute_extrema:
-                cm = (ax < 1.) & (ay < 1.) & (az < 1.)
-                lo_acc = jnp.minimum(lo_acc, jnp.where(cm, window, big))
-                up_acc = jnp.maximum(up_acc, jnp.where(cm, window, -big))
-            return acc, lo_acc, up_acc
+                yms.append(ay < 1.)
 
-        acc, lo_acc, up_acc = jax.lax.fori_loop(0, W ** 3, body, (acc0, lo0, up0))
+        def x_body(ix, carry):
+            acc, lo_acc, up_acc = carry
+            sx = ix - K
+            x_slab = slab[pl.ds(C + sx, TILE), :, :]  # ref load with dynamic start (leading axis)
+            ax = jnp.abs(dx_ - sx)
+            wx = jnp.maximum(0., 1. - ax)
+            axm = ax < 1.
+
+            def z_body(iz, carry_z):
+                accz, lo_z, up_z = carry_z
+                sz = iz - K
+                xz = _roll(x_slab, -sz, 2)
+                az = jnp.abs(dz_ - sz)
+                wz = jnp.maximum(0., 1. - az)
+                xzm = axm & (az < 1.)
+                y_acc = jnp.zeros((TILE, YT, Z), jnp.float32)
+                for iy in range(W):
+                    window = _roll(xz, -(iy - K), 1)[:, _Y_OFF:_Y_OFF + YT, :Z]
+                    y_acc = y_acc + window * wys[iy]
+                    if compute_extrema:
+                        cm = xzm & yms[iy]
+                        lo_z = jnp.minimum(lo_z, jnp.where(cm, window, big))
+                        up_z = jnp.maximum(up_z, jnp.where(cm, window, -big))
+                return accz + y_acc * wz, lo_z, up_z
+
+            z_acc, lo_acc, up_acc = jax.lax.fori_loop(
+                0, W, z_body, (jnp.zeros((TILE, YT, Z), jnp.float32), lo_acc, up_acc))
+            return acc + z_acc * wx, lo_acc, up_acc
+
+        acc, lo_acc, up_acc = jax.lax.fori_loop(0, W, x_body, (acc0, lo0, up0))
         out_refs[0][:] = acc
         if compute_extrema:
             out_refs[1][:] = lo_acc
@@ -237,23 +259,32 @@ def window_interp_2d(padded: jnp.ndarray, disp2: jnp.ndarray, K: int,
         lo0 = jnp.full((X, Y), big, jnp.float32)
         up0 = jnp.full((X, Y), -big, jnp.float32)
 
-        def body(k, carry):
+        # hierarchical accumulation (see 3D kernel): x outer, y inner
+        def x_body(ix, carry):
             acc, lo_acc, up_acc = carry
-            sy = k % W - K
-            sx = (k // W) - K
-            rolled = _roll(_roll(s_full, -sx, 0), -sy, 1)
-            window = rolled[:X, :Y]
+            sx = ix - K
+            xs_roll = _roll(s_full, -sx, 0)
             ax = jnp.abs(dx_ - sx)
-            ay = jnp.abs(dy_ - sy)
-            w = jnp.maximum(0., 1. - ax) * jnp.maximum(0., 1. - ay)
-            acc = acc + window * w
-            if compute_extrema:
-                cm = (ax < 1.) & (ay < 1.)
-                lo_acc = jnp.minimum(lo_acc, jnp.where(cm, window, big))
-                up_acc = jnp.maximum(up_acc, jnp.where(cm, window, -big))
-            return acc, lo_acc, up_acc
+            wx = jnp.maximum(0., 1. - ax)
+            axm = ax < 1.
 
-        acc, lo_acc, up_acc = jax.lax.fori_loop(0, W * W, body, (acc0, lo0, up0))
+            def y_body(iy, carry_y):
+                accy, lo_y, up_y = carry_y
+                sy = iy - K
+                window = _roll(xs_roll, -sy, 1)[:X, :Y]
+                ay = jnp.abs(dy_ - sy)
+                accy = accy + window * jnp.maximum(0., 1. - ay)
+                if compute_extrema:
+                    cm = axm & (ay < 1.)
+                    lo_y = jnp.minimum(lo_y, jnp.where(cm, window, big))
+                    up_y = jnp.maximum(up_y, jnp.where(cm, window, -big))
+                return accy, lo_y, up_y
+
+            y_acc, lo_acc, up_acc = jax.lax.fori_loop(
+                0, W, y_body, (jnp.zeros((X, Y), jnp.float32), lo_acc, up_acc))
+            return acc + y_acc * wx, lo_acc, up_acc
+
+        acc, lo_acc, up_acc = jax.lax.fori_loop(0, W, x_body, (acc0, lo0, up0))
         out_refs[0][:] = acc
         if compute_extrema:
             out_refs[1][:] = lo_acc

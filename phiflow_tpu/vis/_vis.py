@@ -22,6 +22,15 @@ def plot(*fields, lib=None, row_dims=None, col_dims=None, animate=None, overlay=
          title=None, size=(12, 5), same_scale=True, show_color_bar=True, **kwargs):
     """Create a figure for Fields/Tensors/Geometries
     (reference: phi/vis/_vis.py:175). Returns (figure, axes)."""
+    if isinstance(lib, str):
+        if lib == 'matplotlib':
+            lib = MATPLOTLIB
+        elif lib == 'plotly':
+            from ._plotly_plots import PLOTLY
+            assert PLOTLY is not None, "plotly is not installed in this environment"
+            lib = PLOTLY
+        else:
+            raise ValueError(f"unknown plotting library {lib!r} (matplotlib, plotly)")
     lib = lib or MATPLOTLIB
     items = []
     for f in fields:
