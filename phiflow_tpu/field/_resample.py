@@ -162,19 +162,29 @@ def _init_sample(value: FieldInitializer, geometry, boundary, at='center', **kwa
     return value._sample(geometry, at, boundary, **kwargs)
 
 
+def _project_face_component(values: Tensor, dim: str) -> Tensor:
+    """Vector-valued sample on an axis-aligned face grid → normal component
+    (dot with n̂ = e_dim); scalar samples pass through."""
+    if 'vector' in values.shape and values.shape.get_labels('vector'):
+        return values[{'vector': dim}]
+    return values
+
+
 def _sample_at_faces(f_on_grid, geometry, boundary, value):
     """Evaluate `f_on_grid(face_grid)` for each axis face-grid and stack over '~vector'."""
     assert isinstance(geometry, UniformGrid) or hasattr(geometry, 'geometries'), f"face sampling needs a grid, got {type(geometry)}"
     from ..geom._geom_ops import GeometryStack
     if isinstance(geometry, GeometryStack):
-        comps = [f_on_grid(g) for g in geometry.geometries]
+        labels = geometry.stack_dim.dims[0].labels or (None,) * len(geometry.geometries)
+        comps = [_project_face_component(f_on_grid(g), lbl) if lbl else f_on_grid(g)
+                 for g, lbl in zip(geometry.geometries, labels)]
         return stack(comps, geometry.stack_dim)
     boundary = boundary or extrapolation_mod.ZERO
     names = geometry.resolution.names
     comps = []
     for dim in names:
         face_grid = geometry.stagger(dim, *boundary.valid_outer_faces(dim))
-        comps.append(f_on_grid(face_grid))
+        comps.append(_project_face_component(f_on_grid(face_grid), dim))
     return stack(comps, dual(vector=names))
 
 

@@ -398,9 +398,21 @@ def nan_to_0(x) -> Tensor:
 def _reduce(value, dim: DimFilter, native_fn, default_filter=lambda s: s.non_batch) -> Tensor:
     value = wrap(value)
     if isinstance(value, TensorStack):
-        value = value._contiguous() if value.is_uniform else None
-        if value is None:
-            raise NotImplementedError("reduction over non-uniform stack: reduce components first")
+        if value.is_uniform:
+            value = value._contiguous()
+        else:
+            # non-uniform (staggered) stack: reduce each component, then reduce
+            # the per-component results over the stack dim — valid when the
+            # requested dims cover all of each component's reduced dims (full
+            # reductions and reductions including the stack dim).
+            stack_name = value.stack_dim.name
+            reduced = [_reduce(c, dim, native_fn, default_filter) for c in value.components]
+            if dim is None or stack_name in _resolve_filter(dim, value.shape):
+                if any(r.shape for r in reduced):
+                    raise NotImplementedError("partial reduction over non-uniform stack: reduce components first")
+                natives = jnp.stack([r.native() for r in reduced])
+                return Tensor(native_fn(natives, (0,)), EMPTY_SHAPE)
+            return TensorStack(reduced, value.stack_dim)
     if dim is None:
         names = default_filter(value.shape).names
         if not names:

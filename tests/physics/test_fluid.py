@@ -102,3 +102,17 @@ def test_smoke_plume_steps():
     assert float(math.sum(smoke.values)) > 0
     assert float(math.max(abs(divergence(velocity).values))) < 1e-3
     assert float(math.max(velocity.vector['y'].values)) > 0  # plume rises
+
+
+def test_rotating_obstacle():
+    """A spinning obstacle must impose a tangential (rotational) velocity field
+    (reference: Moving_Obstacles.ipynb; AngularVelocity in apply_boundary_conditions)."""
+    v = StaggeredGrid(0., extrapolation.ZERO, x=24, y=24, bounds=Box(x=24, y=24))
+    fan = Obstacle(Sphere(x=12, y=12, radius=5), angular_velocity=1.0)
+    v2, p = fluid.make_incompressible(v, [fan], Solve('CG', 1e-4, 1e-4))
+    assert not v2.values.shape.channel, "staggered components must not retain a vector channel"
+    # v(x) = omega x r: at (12, 15) (above center), velocity is (-3, 0)
+    vx = float(v2.vector['x'].values[{'x': 12, 'y': 15}])
+    assert vx < -1.0, vx
+    vx_below = float(v2.vector['x'].values[{'x': 12, 'y': 9}])
+    assert vx_below > 1.0, vx_below
