@@ -1,0 +1,139 @@
+"""B-spline surface sheets & solids (reference: /root/reference/phi/geom/_spline_sheet.py:17-222,
+_spline_solid.py:20-486 — tensor-product NURBS surfaces/volumes over control nets).
+
+TPU note: evaluation is a dense tensor-product contraction (basis outer products
+× control nets) — batched matmul-shaped work that XLA maps straight onto the
+vector units; no per-point control flow.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..math import Tensor, wrap, spatial, channel, instance, stack
+from ..math import _ops as ops
+from ._spline import b_spline_knots, eval_nurbs_bases
+
+__all__ = ['BSplineSheet', 'SplineSolid']
+
+
+def _tensor_eval(control: np.ndarray, params, degrees):
+    """Evaluate a tensor-product B-spline at params = (u, v[, w]) ∈ [0,1]^k.
+    control: (n1, …, nk, d) numpy control net. Returns Tensor (…, vector)."""
+    k = control.ndim - 1
+    weights = None
+    for axis in range(k):
+        n = control.shape[axis]
+        knots = b_spline_knots(n, degrees[axis])
+        bases = eval_nurbs_bases(params[axis], knots, degrees[axis], n)  # (…, basis=n)
+        bn = ops.rename_dims(bases, 'basis', channel(**{f'basis{axis}': n}))
+        weights = bn if weights is None else weights * bn
+    # contract the joint basis weights with the control net
+    labels = tuple('xyz'[:control.shape[-1]])
+    comps = {}
+    flat = control.reshape(-1, control.shape[-1])
+    basis_dims = [f'basis{a}' for a in range(k)]
+    for ci, lbl in enumerate(labels):
+        coeff = wrap(np.ascontiguousarray(flat[:, ci]).reshape(control.shape[:-1]),
+                     channel(**{bd: control.shape[a] for a, bd in enumerate(basis_dims)}))
+        comps[lbl] = ops.sum_(weights * coeff, basis_dims)
+    return stack(comps, channel(vector=labels))
+
+
+class BSplineSheet:
+    """Tensor-product B-spline surface from a (nu, nv, 3) control net
+    (reference: phi/geom/_spline_sheet.py BSplineSheet:17)."""
+
+    def __init__(self, control_points, degrees=(2, 2)):
+        self.control = np.asarray(control_points, np.float32)
+        assert self.control.ndim == 3, "control_points must be (nu, nv, d)"
+        self.degrees = tuple(degrees)
+
+    @property
+    def spatial_rank(self) -> int:
+        return self.control.shape[-1]
+
+    def eval(self, u, v) -> Tensor:
+        """Surface point S(u, v); u, v Tensors or floats in [0, 1]."""
+        return _tensor_eval(self.control, (wrap(u), wrap(v)), self.degrees)
+
+    def normal(self, u, v, eps=1e-4) -> Tensor:
+        """Unit surface normal via central-difference partials (3D sheets)."""
+        su1 = self.eval(wrap(float(u) + eps), v)
+        su0 = self.eval(wrap(float(u) - eps), v)
+        sv1 = self.eval(u, wrap(float(v) + eps))
+        sv0 = self.eval(u, wrap(float(v) - eps))
+        du = (su1 - su0).numpy('vector')
+        dv = (sv1 - sv0).numpy('vector')
+        n = np.cross(du, dv)
+        n = n / (np.linalg.norm(n) + 1e-12)
+        return wrap(n.astype(np.float32), channel(vector=tuple('xyz'[:3])))
+
+    def sample_grid(self, nu: int, nv: int) -> Tensor:
+        """Evaluate on a regular (nu, nv) parameter grid → (u, v, vector) Tensor."""
+        us = wrap(np.linspace(0, 1, nu, dtype=np.float32), spatial(u=nu))
+        vs = wrap(np.linspace(0, 1, nv, dtype=np.float32), spatial(v=nv))
+        return _tensor_eval(self.control, (us, vs), self.degrees)
+
+    def area(self, samples: int = 32) -> float:
+        """Approximate surface area by triangulating a parameter-grid sampling."""
+        pts = np.asarray(self.sample_grid(samples, samples).numpy(('u', 'v', 'vector')))
+        a = pts[1:, :-1] - pts[:-1, :-1]
+        b = pts[:-1, 1:] - pts[:-1, :-1]
+        c = pts[1:, 1:] - pts[:-1, :-1]
+        t1 = 0.5 * np.linalg.norm(np.cross(a, b), axis=-1)
+        t2 = 0.5 * np.linalg.norm(np.cross(c - a, c - b), axis=-1)
+        return float(t1.sum() + t2.sum())
+
+    def to_mesh(self, nu: int = 16, nv: int = 16):
+        """Quad surface mesh (points, faces) for visualization/export."""
+        pts = np.asarray(self.sample_grid(nu, nv).numpy(('u', 'v', 'vector'))).reshape(nu * nv, -1)
+        faces = []
+        for i in range(nu - 1):
+            for j in range(nv - 1):
+                faces.append((i * nv + j, (i + 1) * nv + j, (i + 1) * nv + j + 1, i * nv + j + 1))
+        return pts, np.asarray(faces, np.int32)
+
+    def __repr__(self):
+        return f"BSplineSheet(control={self.control.shape[:-1]}, degrees={self.degrees})"
+
+
+class SplineSolid:
+    """Trivariate B-spline volume from a (nu, nv, nw, 3) control net
+    (reference: phi/geom/_spline_solid.py SplineSolid:20)."""
+
+    def __init__(self, control_points, degrees=(2, 2, 2)):
+        self.control = np.asarray(control_points, np.float32)
+        assert self.control.ndim == 4, "control_points must be (nu, nv, nw, d)"
+        self.degrees = tuple(degrees)
+
+    def eval(self, u, v, w) -> Tensor:
+        return _tensor_eval(self.control, (wrap(u), wrap(v), wrap(w)), self.degrees)
+
+    def sample_grid(self, nu: int, nv: int, nw: int) -> Tensor:
+        us = wrap(np.linspace(0, 1, nu, dtype=np.float32), spatial(u=nu))
+        vs = wrap(np.linspace(0, 1, nv, dtype=np.float32), spatial(v=nv))
+        ws = wrap(np.linspace(0, 1, nw, dtype=np.float32), spatial(w=nw))
+        return _tensor_eval(self.control, (us, vs, ws), self.degrees)
+
+    def volume(self, samples: int = 16) -> float:
+        """Approximate volume by summing jacobian determinants on a parameter grid."""
+        n = samples
+        pts = np.asarray(self.sample_grid(n, n, n).numpy(('u', 'v', 'w', 'vector')))
+        du = np.diff(pts, axis=0)[:, :-1, :-1]
+        dv = np.diff(pts, axis=1)[:-1, :, :-1]
+        dw = np.diff(pts, axis=2)[:-1, :-1, :]
+        det = np.einsum('...i,...i->...', du, np.cross(dv, dw))
+        return float(np.abs(det).sum())
+
+    def to_sheets(self):
+        """The six boundary BSplineSheets of the solid (reference: to_spline:425)."""
+        c = self.control
+        d = self.degrees
+        return [
+            BSplineSheet(c[0], (d[1], d[2])), BSplineSheet(c[-1], (d[1], d[2])),
+            BSplineSheet(c[:, 0], (d[0], d[2])), BSplineSheet(c[:, -1], (d[0], d[2])),
+            BSplineSheet(c[:, :, 0], (d[0], d[1])), BSplineSheet(c[:, :, -1], (d[0], d[1])),
+        ]
+
+    def __repr__(self):
+        return f"SplineSolid(control={self.control.shape[:-1]}, degrees={self.degrees})"

@@ -43,3 +43,34 @@ def test_decimate():
     faces = np.random.randint(0, 100, (50, 3)).astype(np.int32)
     v2, f2 = decimate_tri_mesh(verts, faces, 0.3)
     assert len(v2) < len(verts)
+
+
+# --- surface sheets & solids ---
+
+def test_bspline_sheet_flat():
+    """A flat control net must reproduce the plane exactly (linear precision)."""
+    import numpy as np
+    from phiflow_tpu.geom import BSplineSheet
+    u, v = np.meshgrid(np.linspace(0, 2, 5), np.linspace(0, 3, 4), indexing='ij')
+    control = np.stack([u, v, np.zeros_like(u)], -1)
+    sheet = BSplineSheet(control, degrees=(2, 2))
+    p = sheet.eval(0.5, 0.5).numpy('vector')
+    assert abs(p[0] - 1.0) < 1e-5 and abs(p[1] - 1.5) < 1e-5 and abs(p[2]) < 1e-6
+    n = sheet.normal(0.5, 0.5).numpy('vector')
+    assert abs(abs(n[2]) - 1.0) < 1e-4  # normal ⟂ plane
+    assert abs(sheet.area(24) - 6.0) < 0.05  # 2×3 rectangle
+    pts, faces = sheet.to_mesh(8, 8)
+    assert pts.shape == (64, 3) and faces.shape == (49, 4)
+
+
+def test_spline_solid_cube():
+    import numpy as np
+    from phiflow_tpu.geom import SplineSolid
+    g = np.linspace(0, 1, 4)
+    u, v, w = np.meshgrid(g, g, g, indexing='ij')
+    solid = SplineSolid(np.stack([u, v, w], -1))
+    c = solid.eval(0.5, 0.5, 0.5).numpy('vector')
+    assert np.allclose(c, 0.5, atol=1e-5)
+    assert abs(solid.volume(12) - 1.0) < 0.05
+    sheets = solid.to_sheets()
+    assert len(sheets) == 6
