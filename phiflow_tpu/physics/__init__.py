@@ -9,3 +9,4 @@ try:
     from . import sph
 except ImportError:
     pass
+from ._boundaries import Domain, OPEN, CLOSED, PERIODIC_DOMAIN, STICKY, SLIPPERY
