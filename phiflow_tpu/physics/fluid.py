@@ -306,13 +306,13 @@ def incompressible_rk4(pde: Callable, velocity: Field, pressure: Field, dt, pres
     rhs1 = pde(v1, **pde_aux_kwargs) - p1.gradient(at=v1.sampled_at, order=pressure_order)
     v2_old = velocity + (dt / 2) * rhs1
     v2, delta_p = make_incompressible(v2_old, solve=pressure_solve, order=pressure_order)
-    p2 = p1 + delta_p / dt
+    p2 = p1 + delta_p / (dt / 2)  # φ = (stage step)·Δp: half-steps divide by dt/2
     rhs2 = pde(v2, **pde_aux_kwargs) - p2.gradient(at=v1.sampled_at, order=pressure_order)
     v3_old = velocity + (dt / 2) * rhs2
     v3, delta_p = make_incompressible(v3_old, solve=pressure_solve, order=pressure_order)
-    p3 = p2 + delta_p / dt
+    p3 = p2 + delta_p / (dt / 2)
     rhs3 = pde(v3, **pde_aux_kwargs) - p3.gradient(at=v1.sampled_at, order=pressure_order)
-    v4_old = velocity + dt * rhs2
+    v4_old = velocity + dt * rhs3
     v4, delta_p = make_incompressible(v4_old, solve=pressure_solve, order=pressure_order)
     p4 = p3 + delta_p / dt
     rhs4 = pde(v4, **pde_aux_kwargs) - p4.gradient(at=v1.sampled_at, order=pressure_order)

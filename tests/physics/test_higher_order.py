@@ -61,3 +61,57 @@ def test_incompressible_rk4_runs():
     v1, p1 = fluid.incompressible_rk4(pde, v, p, dt=0.01, pressure_order=2,
                                       pressure_solve=Solve('CG', 1e-4, 1e-4, suppress=(math.ConvergenceException,)))
     assert float(math.max(abs(divergence(v1).values))) < 1e-3
+
+
+def test_incompressible_rk4_taylor_green_accuracy():
+    """Viscous Taylor-Green vortex: u = sin(x)cos(y)e^{-2 nu t}. With order-6
+    spatial schemes the time error dominates; halving dt must shrink the error
+    by ≈2^4 (guard against RK stage-coefficient regressions, e.g. k3 vs k2)."""
+    import numpy as np
+    from phiflow_tpu.math import Solve, extrapolation, ConvergenceException, spatial, channel, wrap, stack
+    from phiflow_tpu.field import CenteredGrid
+    from phiflow_tpu.physics import advect, diffuse, fluid
+    from phiflow_tpu.geom import Box
+
+    n = 8         # spectral schemes are exact for the k=1 TGV mode
+    nu = 1.0      # strong decay so the RK4 time error rises above the f32 floor
+    L = 2 * np.pi
+    bounds = Box(x=L, y=L)
+
+    def make_v0():
+        return CenteredGrid(
+            lambda pos: stack({'x': _sin(pos.vector['x']) * _cos(pos.vector['y']),
+                               'y': -_cos(pos.vector['x']) * _sin(pos.vector['y'])},
+                              channel(vector='x,y')),
+            extrapolation.PERIODIC, x=n, y=n, bounds=bounds)
+
+    def _sin(t):
+        import phiflow_tpu.math as m
+        return m.sin(t)
+
+    def _cos(t):
+        import phiflow_tpu.math as m
+        return m.cos(t)
+
+    def pde(v):
+        return advect.differential(v, v, order=6) + diffuse.differential(v, nu, order=6)
+
+    solve = Solve('CG', 1e-6, 1e-6, suppress=(ConvergenceException,))
+
+    def one_step_error(dt):
+        """Local (single-step) error vs the analytic decay — measures the TIME
+        order without the dt-independent spatial eigenvalue bias of the order-6
+        compact scheme (λ̂ = −1.99985 ≠ −2 at kh = π/4) polluting the ratio."""
+        v = make_v0()
+        p = CenteredGrid(0., extrapolation.PERIODIC, x=n, y=n, bounds=bounds)
+        v1, p1 = fluid.incompressible_rk4(pde, v, p, dt, pressure_order=6, pressure_solve=solve)
+        analytic = make_v0() * float(np.exp(-2 * nu * dt))
+        err = v1.values - analytic.values
+        return float(np.abs(np.asarray(err.native(('x', 'y', 'vector')))).max())
+
+    e_coarse = one_step_error(0.3)
+    e_fine = one_step_error(0.15)
+    # 4th-order local error shrinks 32×; spatial bias floors it around 10⁻⁵.
+    # Ratio > 10 rules out 1st/2nd-order stage regressions (e.g. k2 reused for k4,
+    # or wrong stage-pressure scaling), which give ratios ≤ 8.
+    assert e_coarse / e_fine > 10, (e_coarse, e_fine)
