@@ -5,10 +5,16 @@ Used as a CG preconditioner for the pressure solve (reference exposes
 sparse matrices; ILU is inherently sequential (triangular solves) and a poor
 fit for TPU. Geometric multigrid is the TPU-native choice: every component —
 Jacobi smoothing, mean-pool restriction, repeat prolongation — is a dense
-elementwise/stencil op that XLA fuses, and the level hierarchy is static so the
-whole V-cycle unrolls into one compiled program. Unpreconditioned CG on a 256³
-Poisson system needs O(N^{1/3}·κ) ≈ hundreds of iterations; MG-preconditioned
-CG converges in ~10-20.
+elementwise/stencil op, and the level hierarchy is static so the whole V-cycle
+unrolls into one compiled program. Unpreconditioned CG on a 256³ Poisson system
+needs O(N^{1/3}·κ) ≈ hundreds of iterations; MG-preconditioned CG converges in
+~10-20.
+
+The smoothing/residual stencils dispatch to the fused Pallas kernels in
+`phiflow_tpu.ops.poisson` ('jacobi' / 'residual' modes) — one HBM round-trip
+per sweep instead of the pad/concat chains of the naive formulation. Boundary
+modes are the same {periodic, neumann, ghost0} as the CG matvec, so the
+preconditioner approximates exactly the operator being solved.
 
 Symmetry (required for CG): damped-Jacobi pre/post smoothing with equal sweep
 counts, restriction R = (1/2^d)·Pᵀ of the piecewise-constant prolongation P,
@@ -26,67 +32,55 @@ import jax.numpy as jnp
 __all__ = ['make_poisson_vcycle']
 
 
-def _pad1(u: jnp.ndarray, axis: int, bc_lo: str, bc_hi: str) -> jnp.ndarray:
-    """Add one ghost layer on each side of `axis` according to the BC mode.
-    periodic: wrap; neumann (zero-gradient): edge copy; dirichlet (zero at the
-    boundary FACE of the cell-centered grid): odd reflection ghost = −edge."""
-    n = u.shape[axis]
-    first = jax.lax.slice_in_dim(u, 0, 1, axis=axis)
-    last = jax.lax.slice_in_dim(u, n - 1, n, axis=axis)
-    lo = {'periodic': last, 'neumann': first, 'dirichlet': -first}[bc_lo]
-    hi = {'periodic': first, 'neumann': last, 'dirichlet': -last}[bc_hi]
-    return jnp.concatenate([lo, u, hi], axis=axis)
+def _lap(u: jnp.ndarray, inv_dx2, bcs) -> jnp.ndarray:
+    """A·u on (batch, *res) arrays via the fused stencil (XLA path — only used
+    for the host-side coarse pinv; device stencils go through poisson_apply)."""
+    from ..ops.poisson import poisson_apply
+    return poisson_apply(u, inv_dx2, bcs, mode='matvec', use_pallas=False)
 
 
-def _laplace(u: jnp.ndarray, dx2: Sequence[float], bcs) -> jnp.ndarray:
-    """d-dim 2nd-order Laplacian with ghost-cell BCs; axis 0 is batch."""
-    out = None
-    for i, (d2, (blo, bhi)) in enumerate(zip(dx2, bcs)):
-        ax = i + 1
-        up = _pad1(u, ax, blo, bhi)
-        n = u.shape[ax]
-        lo = jax.lax.slice_in_dim(up, 0, n, axis=ax)
-        hi = jax.lax.slice_in_dim(up, 2, n + 2, axis=ax)
-        term = (lo + hi - 2.0 * u) * (1.0 / d2)
-        out = term if out is None else out + term
-    return out
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _incidence(n: int, dtype=np.float32) -> np.ndarray:
+    """(n, n/2) pairing matrix: column c has ones at rows 2c and 2c+1."""
+    R = np.zeros((n, n // 2), dtype)
+    idx = np.arange(n // 2)
+    R[2 * idx, idx] = 1.0
+    R[2 * idx + 1, idx] = 1.0
+    return R
 
 
 def _restrict(r: jnp.ndarray) -> jnp.ndarray:
     """Full-weighting to the 2×-coarser cell-centered grid: mean over 2^d children.
-    Implemented with strided slices — a (…, n, 2) reshape materializes a (8,128)
-    tiled layout on TPU where the trailing 2 pads to 128 (64× HBM blow-up)."""
+    Contracted with per-axis pairing matrices — strided slices gather every
+    other lane (layout-hostile on TPU), whereas these small matmuls ride the
+    MXU at a tiny fraction of a memory pass."""
     for ax in range(1, r.ndim):
-        n = r.shape[ax]
-        even = jax.lax.slice_in_dim(r, 0, n, stride=2, axis=ax)
-        odd = jax.lax.slice_in_dim(r, 1, n, stride=2, axis=ax)
-        r = 0.5 * (even + odd)
+        R = 0.5 * _incidence(r.shape[ax], np.dtype(r.dtype).type)
+        r = jnp.moveaxis(jnp.tensordot(r, R, axes=((ax,), (0,)), precision=jax.lax.Precision.HIGHEST), -1, ax)
     return r
 
 
 def _prolong(e: jnp.ndarray) -> jnp.ndarray:
     """Piecewise-constant interpolation to the 2×-finer grid (adjoint of _restrict
-    up to the 1/2^d factor — keeps the V-cycle symmetric). Uses lax.pad with
-    interior padding (layout-safe interleave, same rationale as _restrict)."""
-    zero = jnp.asarray(0, e.dtype)
+    up to the 1/2^d factor — keeps the V-cycle symmetric): transpose contraction
+    with the same pairing matrices."""
     for ax in range(1, e.ndim):
-        cfg = [(0, 0, 0)] * e.ndim
-        cfg[ax] = (0, 1, 1)
-        a = jax.lax.pad(e, zero, cfg)     # e0 0 e1 0 … en-1 0
-        cfg[ax] = (1, 0, 1)
-        b = jax.lax.pad(e, zero, cfg)     # 0 e0 0 e1 … 0 en-1
-        e = a + b                          # e0 e0 e1 e1 …
+        P = _incidence(2 * e.shape[ax], np.dtype(e.dtype).type).T  # (n/2, n)
+        e = jnp.moveaxis(jnp.tensordot(e, P, axes=((ax,), (0,)), precision=jax.lax.Precision.HIGHEST), -1, ax)
     return e
 
 
-def _coarse_pinv(res: Tuple[int, ...], dx2, bcs) -> np.ndarray:
+def _coarse_pinv(res: Tuple[int, ...], inv_dx2, bcs) -> np.ndarray:
     """Exact coarse solve: materialize the coarse Laplacian on host numpy and
     pseudo-invert it (pinv handles the singular Neumann/periodic nullspace).
     Stays a HOST constant — embedded as a literal, symmetric by construction."""
     n = int(np.prod(res))
     eye = np.eye(n, dtype=np.float32).reshape((n,) + tuple(res))
     with jax.ensure_compile_time_eval():  # host-eval even when called inside a jit trace
-        cols = np.asarray(_laplace(jnp.asarray(eye), dx2, bcs)).reshape(n, n)
+        cols = np.asarray(_lap(jnp.asarray(eye), inv_dx2, bcs)).reshape(n, n)
     return np.linalg.pinv(cols.T, rcond=1e-5).astype(np.float32)
 
 
@@ -97,44 +91,49 @@ def make_poisson_vcycle(resolution: Tuple[int, ...], dx: Tuple[float, ...], bcs,
     cell-centered grid. `b`, `u`: (batch, *resolution) float arrays.
 
     resolution/dx: per-axis cell counts and spacings (static Python values).
-    bcs: per-axis (lower, upper) modes from {'periodic','neumann','dirichlet'}.
+    bcs: per-axis (lower, upper) modes from {'periodic','neumann','ghost0'}
+         — same modes as `ops.poisson` (matching the CG matvec operator).
     nu: pre- and post-smoothing damped-Jacobi sweeps per level.
     The coarsest level is solved exactly via a host-precomputed pseudo-inverse
     (≤ max_direct unknowns), or damped-Jacobi sweeps otherwise.
     """
+    from ..ops.poisson import poisson_apply
     # --- build the static level hierarchy ---
-    levels = []  # (resolution, dx2)
+    levels = []  # (resolution, inv_dx2)
     res = tuple(int(n) for n in resolution)
     d = tuple(float(x) for x in dx)
     while True:
-        levels.append((res, tuple(x * x for x in d)))
+        levels.append((res, tuple(1.0 / (x * x) for x in d)))
         if any(n % 2 for n in res) or min(res) <= min_size:
             break
         res = tuple(n // 2 for n in res)
         d = tuple(2 * x for x in d)
-    coarse_res, coarse_dx2 = levels[-1]
+    coarse_res, coarse_inv_dx2 = levels[-1]
     n_coarse = int(np.prod(coarse_res))
-    coarse_inv = _coarse_pinv(coarse_res, coarse_dx2, bcs) if n_coarse <= max_direct else None
+    coarse_inv = _coarse_pinv(coarse_res, coarse_inv_dx2, bcs) if n_coarse <= max_direct else None
 
-    def smooth(u, b, dx2, sweeps):
-        diag = -2.0 * sum(1.0 / d2 for d2 in dx2)
-        w = np.float32(omega / diag)
+    def smooth(u, b, inv_dx2, sweeps, skip_first=False):
+        w = np.float32(omega / (-2.0 * sum(inv_dx2)))
+        if skip_first:
+            # u == 0: first sweep reduces to u = w·b without a stencil pass
+            u = w * b
+            sweeps -= 1
         for _ in range(sweeps):
-            u = u + w * (b - _laplace(u, dx2, bcs))
+            u = poisson_apply(u, inv_dx2, bcs, b=b, mode='jacobi', omega_over_diag=w)
         return u
 
     def vcycle_level(b, level: int):
-        res_l, dx2 = levels[level]
+        res_l, inv_dx2 = levels[level]
         if level + 1 == len(levels):
             if coarse_inv is not None:
                 flat = b.reshape(b.shape[0], -1)
                 return jnp.einsum('ij,bj->bi', coarse_inv, flat).reshape(b.shape)
-            return smooth(jnp.zeros_like(b), b, dx2, 24)
-        u = smooth(jnp.zeros_like(b), b, dx2, nu)
-        r = b - _laplace(u, dx2, bcs)
+            return smooth(jnp.zeros_like(b), b, inv_dx2, 24, skip_first=True)
+        u = smooth(jnp.zeros_like(b), b, inv_dx2, nu, skip_first=True)
+        r = poisson_apply(u, inv_dx2, bcs, b=b, mode='residual')
         e = _prolong(vcycle_level(_restrict(r), level + 1))
         u = u + e
-        return smooth(u, b, dx2, nu)
+        return smooth(u, b, inv_dx2, nu)
 
     def vcycle(b: jnp.ndarray) -> jnp.ndarray:
         return vcycle_level(b, 0)

@@ -138,7 +138,7 @@ def make_incompressible(velocity: Field,
     # breaks CG on the nonsingular masked system).
     if solve.preconditioner in (None, 'auto', 'multigrid') and solve.method in ('auto', 'CG', 'CG-adaptive', 'CG-native') \
             and order == 2 and not wide_stencil and not div.is_mesh and all_active and not obstacles:
-        M = _grid_multigrid_preconditioner(solve.x0)
+        M = _grid_multigrid_preconditioner(solve.x0, input_velocity.boundary)
         if M is not None:
             solve = copy_with(solve, preconditioner=M)
     elif not callable(solve.preconditioner):
@@ -162,14 +162,19 @@ def masked_laplace(pressure: Field,
                    wide_stencil=False,
                    order=2) -> Field:
     """Laplace of pressure respecting obstacle masks — the CG matvec
-    (reference: fluid.py:165-202). grad → mask → div fuses into one XLA stencil
-    kernel per iteration."""
+    (reference: fluid.py:165-202). On uniform grids with classifiable BCs this
+    dispatches to the fused Poisson stencil (ops.poisson — single Pallas kernel
+    on TPU); otherwise it composes grad → mask → div from generic field ops."""
     if pressure.is_mesh:
         from ..field import laplace as field_laplace
         return field_laplace(pressure, order=order)
     if order > 2 and not wide_stencil:
         from ..field import laplace as field_laplace
         return field_laplace(pressure, order=order)
+    if order == 2 and not wide_stencil:
+        fused = _fused_masked_laplace(pressure, v_boundary, hard_bcs, active)
+        if fused is not None:
+            return fused
     if wide_stencil and hard_bcs is None and active is None:
         grad = spatial_gradient(pressure, v_boundary, at='center', order=order)
         grad = grad.with_boundary(extrapolation.remove_constant_offset(grad.boundary))
@@ -181,19 +186,127 @@ def masked_laplace(pressure: Field,
     return where(active, div, pressure) if active is not None else div
 
 
+def _classify_pressure_bc(p_ext: Extrapolation, v_ext: Extrapolation, dims) -> Optional[tuple]:
+    """Per-(axis, side) boundary mode of the linearized pressure operator, or
+    None if the extrapolations fall outside {periodic, const, zero-gradient}.
+
+    A side is 'periodic' if the velocity wraps; 'neumann' if its outer face
+    flux vanishes (face dropped by a constant velocity BC, or kept but the
+    pressure pads edge-replicate); 'ghost0' if the face is kept and the
+    pressure pads a zero constant (ghost cell = 0)."""
+    from ..math._extrapolation import _MixedExtrapolation, _BoundaryExtrapolation, _PeriodicExtrapolation
+
+    def component(ext, dim, upper):
+        while isinstance(ext, _MixedExtrapolation):
+            ext = ext._get(dim, upper)
+        return ext
+
+    bc = []
+    for dim in dims:
+        sides = []
+        for upper in (False, True):
+            v = component(extrapolation.get_normal(v_ext[{'vector': dim}] if 'vector' in getattr(v_ext, 'shape', ()) else v_ext), dim, upper)
+            p = component(p_ext, dim, upper)
+            if isinstance(v, _PeriodicExtrapolation):
+                if not isinstance(p, _PeriodicExtrapolation):
+                    return None
+                sides.append('periodic')
+            elif isinstance(v, ConstantExtrapolation):
+                sides.append('neumann')  # face dropped → zero flux
+            elif isinstance(v, _BoundaryExtrapolation):
+                if isinstance(p, ConstantExtrapolation):
+                    if not ops.always_close(p.value, 0):
+                        return None  # nonzero affine offset — generic path handles it
+                    sides.append('ghost0')
+                elif isinstance(p, _BoundaryExtrapolation):
+                    sides.append('neumann')
+                elif isinstance(p, _PeriodicExtrapolation):
+                    return None
+                else:
+                    return None
+            else:
+                return None
+        lo, hi = sides
+        if ('periodic' in sides) and lo != hi:
+            return None
+        bc.append((lo, hi))
+    return tuple(bc)
+
+
+FUSED_POISSON = True  # dispatch masked_laplace to ops.poisson on uniform grids (tests toggle this)
+
+
+def _fused_masked_laplace(pressure: Field, v_boundary: Extrapolation,
+                          hard_bcs: Optional[Field], active: Optional[Field]) -> Optional[Field]:
+    """Fast path: the masked pressure laplacian as one fused stencil
+    (ops.poisson.poisson_apply). Returns None when not applicable."""
+    from ..geom._grid import UniformGrid
+    from ..ops import poisson
+    if not FUSED_POISSON:
+        return None
+    if not isinstance(pressure.geometry, UniformGrid) or not pressure.is_centered:
+        return None
+    dims = pressure.resolution.names
+    bc = _classify_pressure_bc(pressure.boundary, v_boundary, dims)
+    if bc is None:
+        return None
+    try:
+        dx_np = np.asarray(pressure.geometry.dx.native(pressure.geometry.dx.shape.names)).reshape(-1)
+        inv_dx2 = tuple(1.0 / float(d) ** 2 for d in dx_np)
+    except Exception:
+        return None  # traced geometry
+    values = pressure.values
+    lead = values.shape.without(dims)
+    order = lead.names + tuple(dims)
+    arr = values.native(order)
+    mA_list = c0 = act_arr = None
+    if hard_bcs is not None:
+        full_masks = []
+        for dim in dims:
+            comp = hard_bcs.values[{'~vector': dim}]
+            lo_valid, up_valid = v_boundary.valid_outer_faces(dim)
+            comp_order = [n for n in order if n in comp.shape]
+            m = comp.native(tuple(comp_order))
+            # pad dropped outer faces with zero mask (their flux is dropped)
+            ax = comp_order.index(dim)
+            pad_cfg = [(0, 0)] * m.ndim
+            if bc[dims.index(dim)][0] == 'periodic':
+                pad_cfg[ax] = (0, 0)
+            else:
+                pad_cfg[ax] = (int(not lo_valid), int(not up_valid))
+            m = jnp.pad(m, pad_cfg)
+            # restore leading axes for broadcast compatibility with `arr`
+            missing = len(order) - m.ndim
+            m = m.reshape((1,) * missing + m.shape)
+            full_masks.append(m)
+        mA_list, c0 = poisson.stage_masks(full_masks, bc, inv_dx2)
+    if active is not None:
+        act_arr = active.values.native([n for n in order if n in active.values.shape])
+        act_arr = act_arr.reshape((1,) * (len(order) - act_arr.ndim) + act_arr.shape)
+    result = poisson.poisson_apply(arr, inv_dx2, bc, mA_list=mA_list, c0=c0,
+                                   active=act_arr, mode='matvec')
+    out_shape = values.shape.only(list(order), reorder=True)
+    bout = extrapolation.remove_constant_offset(v_boundary).spatial_gradient()
+    return Field(pressure.geometry, Tensor(result, out_shape), bout)
+
+
+import jax.numpy as jnp
+
+
 def _bc_mode(ext: Extrapolation, dim: str, upper: bool) -> str:
-    """Classify the pressure BC on one face for the multigrid smoother."""
+    """Classify the pressure BC on one face for the multigrid smoother
+    (fallback when the joint velocity/pressure classifier does not apply)."""
     from ..math._extrapolation import _MixedExtrapolation
     if isinstance(ext, _MixedExtrapolation):
         ext = ext._get(dim, upper)
     if ext == extrapolation.PERIODIC:
         return 'periodic'
     if isinstance(ext, ConstantExtrapolation):
-        return 'dirichlet'
+        return 'ghost0'
     return 'neumann'  # ZERO_GRADIENT and anything exotic: Neumann is the safe smoother BC
 
 
-def _grid_multigrid_preconditioner(x0: Field):
+def _grid_multigrid_preconditioner(x0: Field, v_boundary: Extrapolation = None):
     """Build a geometric-multigrid V-cycle preconditioner for the pressure system
     on a uniform grid, or None when not applicable. The V-cycle ignores obstacle
     masks (it approximates the unobstructed Poisson inverse) — CG convergence
@@ -216,7 +329,9 @@ def _grid_multigrid_preconditioner(x0: Field):
     if max(resolution) < 16:
         return None  # plain CG converges in a handful of iterations anyway
     pext = x0.boundary
-    bcs = tuple((_bc_mode(pext, n, False), _bc_mode(pext, n, True)) for n in names)
+    bcs = _classify_pressure_bc(pext, v_boundary, names) if v_boundary is not None else None
+    if bcs is None:
+        bcs = tuple((_bc_mode(pext, n, False), _bc_mode(pext, n, True)) for n in names)
     vcycle = make_poisson_vcycle(resolution, dx, bcs)
 
     def preconditioner(r: Field) -> Field:
