@@ -73,14 +73,26 @@ def _prolong(e: jnp.ndarray) -> jnp.ndarray:
     return e
 
 
+@functools.lru_cache(maxsize=32)
 def _coarse_pinv(res: Tuple[int, ...], inv_dx2, bcs) -> np.ndarray:
     """Exact coarse solve: materialize the coarse Laplacian on host numpy and
     pseudo-invert it (pinv handles the singular Neumann/periodic nullspace).
-    Stays a HOST constant — embedded as a literal, symmetric by construction."""
+    Stays a HOST constant — embedded as a literal, symmetric by construction.
+
+    Runs as ONE jitted call pinned to the host CPU device: op-by-op eager
+    evaluation inside an outer trace dispatches hundreds of micro-programs and
+    blocks on the device queue (30s+ observed at trace time); a single cached
+    CPU executable is milliseconds."""
     n = int(np.prod(res))
     eye = np.eye(n, dtype=np.float32).reshape((n,) + tuple(res))
+    try:
+        cpu = jax.devices('cpu')[0]
+    except RuntimeError:
+        cpu = None
     with jax.ensure_compile_time_eval():  # host-eval even when called inside a jit trace
-        cols = np.asarray(_lap(jnp.asarray(eye), inv_dx2, bcs)).reshape(n, n)
+        f = jax.jit(lambda e: _lap(e, inv_dx2, bcs))
+        e0 = jnp.asarray(eye) if cpu is None else jax.device_put(jnp.asarray(eye), cpu)
+        cols = np.asarray(f(e0)).reshape(n, n)
     return np.linalg.pinv(cols.T, rcond=1e-5).astype(np.float32)
 
 
@@ -110,6 +122,7 @@ def make_poisson_vcycle(resolution: Tuple[int, ...], dx: Tuple[float, ...], bcs,
         d = tuple(2 * x for x in d)
     coarse_res, coarse_inv_dx2 = levels[-1]
     n_coarse = int(np.prod(coarse_res))
+    bcs = tuple(tuple(b) for b in bcs)  # hashable for the pinv cache
     coarse_inv = _coarse_pinv(coarse_res, coarse_inv_dx2, bcs) if n_coarse <= max_direct else None
 
     def smooth(u, b, inv_dx2, sweeps, skip_first=False):

@@ -185,6 +185,30 @@ class _VecFormat:
             parts.append(n.reshape((max(b.volume, 1) if b else 1, -1)))
         return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
 
+    def to_list(self, state) -> list:
+        """→ list of natives, each (*batch, *rest) — no concat/reshape copies.
+
+        The Krylov loops run directly on these natural layouts; flattening to
+        (B, N) costs a relayout copy per matvec at 256³+ and is only kept for
+        the dense direct solver."""
+        b = self.batch_shape
+        out = []
+        for t in _tensor_leaves(state):
+            order = b.names + t.shape.without(b.names).names
+            n = t.native(order)
+            n = jnp.broadcast_to(n, tuple(b.sizes) + n.shape[len(b.names):])
+            out.append(n)
+        return out
+
+    def from_list(self, arrs: list):
+        b = self.batch_shape
+        tensors = []
+        from ._shape import concat_shapes
+        for t, a in zip(_tensor_leaves(self.template), arrs):
+            rest = t.shape.without(b.names)
+            tensors.append(Tensor(a.reshape(tuple(b.sizes) + tuple(rest.sizes)), concat_shapes(b, rest)))
+        return _rebuild_from_tensors(self.template, tensors)
+
     def unflatten(self, vec: jnp.ndarray):
         b = self.batch_shape
         tensors = _tensor_leaves(self.template)
@@ -258,96 +282,134 @@ def _rebuild_from_tensors(template, tensors: list):
 # Krylov solvers on (B, N) arrays — lax.while_loop bodies, fully on device
 # ---------------------------------------------------------------------------
 
-def _cg(A, b, x0, rtol, atol, max_iter, M=None):
-    """Batched conjugate gradients. A: (B,N)→(B,N) linear; returns (x, res_norm, iters, converged).
+def _ldot(us, vs, nb: int):
+    """Σ_leaves Σ_non-batch u·v → (*batch) array."""
+    tot = None
+    for u, v in zip(us, vs):
+        s = jnp.sum(u * v, axis=tuple(range(nb, u.ndim))) if u.ndim > nb else u * v
+        tot = s if tot is None else tot + s
+    return tot
+
+
+def _lbc(scalar, leaf, nb: int):
+    """Broadcast a (*batch) scalar against a (*batch, *rest) leaf."""
+    return scalar.reshape(scalar.shape + (1,) * (leaf.ndim - nb))
+
+
+def _lcomb(xs, a, ys, nb: int):
+    """x + a·y per leaf with (*batch)-shaped a."""
+    return [x + _lbc(a, x, nb) * y for x, y in zip(xs, ys)]
+
+
+def _lmean(xs, nb: int):
+    """Global mean over all non-batch entries (nullspace projection helper)."""
+    total = None
+    count = 0
+    for x in xs:
+        s = jnp.sum(x, axis=tuple(range(nb, x.ndim))) if x.ndim > nb else x
+        n = int(np.prod(x.shape[nb:])) if x.ndim > nb else 1
+        total = s if total is None else total + s
+        count += n
+    return total / count
+
+
+def _lsub_mean(xs, nb: int):
+    m = _lmean(xs, nb)
+    return [x - _lbc(m, x, nb) for x in xs]
+
+
+def _cg(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
+    """Conjugate gradients on lists of (*batch, *rest) arrays; returns
+    (x, res_norm, iters, converged). Runs on the natural array layouts — no
+    flatten/concat relayouts in the loop body.
 
     Works for positive- AND negative-definite operators (the pressure system
     div∘grad is negative semi-definite) — denominator guards preserve sign."""
-    dtype = b.dtype
+    dtype = b[0].dtype
     eps = jnp.asarray(1e-30, dtype)
 
     def safe_denom(x):
         return jnp.where(jnp.abs(x) < eps, jnp.where(x < 0, -eps, eps), x)
 
-    def dot(u, v):
-        return jnp.sum(u * v, axis=-1, keepdims=True)
-
-    b_norm = jnp.sqrt(dot(b, b))
-    tol_sq = jnp.maximum(jnp.asarray(atol, dtype), jnp.asarray(rtol, dtype) * b_norm) ** 2
+    b_norm_sq = _ldot(b, b, nb)
+    tol_sq = jnp.maximum(jnp.asarray(atol, dtype), jnp.asarray(rtol, dtype) * jnp.sqrt(b_norm_sq)) ** 2
     x = x0
-    r = b - A(x)
+    Ax = A(x)
+    r = [bi - axi for bi, axi in zip(b, Ax)]
     z = M(r) if M is not None else r
     p = z
-    rz = dot(r, z)
+    rz = _ldot(r, z, nb)
 
     def cond(state):
         x, r, z, p, rz, it = state
-        return jnp.logical_and(it < max_iter, jnp.any(dot(r, r) > tol_sq))
+        return jnp.logical_and(it < max_iter, jnp.any(_ldot(r, r, nb) > tol_sq))
 
     def body(state):
         x, r, z, p, rz, it = state
         Ap = A(p)
-        alpha = rz / safe_denom(dot(p, Ap))
+        alpha = rz / safe_denom(_ldot(p, Ap, nb))
         # freeze converged systems: alpha→0 where already converged
-        active = (dot(r, r) > tol_sq).astype(dtype)
+        active = (_ldot(r, r, nb) > tol_sq).astype(dtype)
         alpha = alpha * active
-        x = x + alpha * p
-        r = r - alpha * Ap
+        x = _lcomb(x, alpha, p, nb)
+        r = _lcomb(r, -alpha, Ap, nb)
         z_new = M(r) if M is not None else r
-        rz_new = dot(r, z_new)
+        rz_new = _ldot(r, z_new, nb)
         beta = rz_new / safe_denom(rz)
-        p = z_new + beta * p
+        p = _lcomb(z_new, beta, p, nb)
         return x, r, z_new, p, rz_new, it + 1
 
     x, r, z, p, rz, it = jax.lax.while_loop(cond, body, (x, r, z, p, rz, jnp.asarray(0, jnp.int32)))
-    res = jnp.sqrt(dot(r, r))
+    res = jnp.sqrt(_ldot(r, r, nb))
     converged = jnp.all(res ** 2 <= tol_sq)
     return x, res, it, converged
 
 
-def _bicgstab(A, b, x0, rtol, atol, max_iter, M=None):
-    """Batched BiCGStab (covers the reference's 'biCG-stab(2)' use cases)."""
-    dtype = b.dtype
+def _bicgstab(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
+    """BiCGStab on lists of (*batch, *rest) arrays (covers the reference's
+    'biCG-stab(2)' use cases)."""
+    dtype = b[0].dtype
     eps = jnp.asarray(1e-30, dtype)
 
     def safe_denom(v):
         return jnp.where(jnp.abs(v) < eps, jnp.where(v < 0, -eps, eps), v)
 
-    def dot(u, v):
-        return jnp.sum(u * v, axis=-1, keepdims=True)
-
-    b_norm = jnp.sqrt(dot(b, b))
-    tol_sq = jnp.maximum(jnp.asarray(atol, dtype), jnp.asarray(rtol, dtype) * b_norm) ** 2
+    b_norm_sq = _ldot(b, b, nb)
+    tol_sq = jnp.maximum(jnp.asarray(atol, dtype), jnp.asarray(rtol, dtype) * jnp.sqrt(b_norm_sq)) ** 2
     x = x0
-    r = b - A(x)
+    Ax = A(x)
+    r = [bi - axi for bi, axi in zip(b, Ax)]
     r_hat = r
-    rho = alpha = omega = jnp.ones_like(dot(r, r))
-    v = p = jnp.zeros_like(r)
+    ones = jnp.ones_like(b_norm_sq)
+    rho = alpha = omega = ones
+    v = [jnp.zeros_like(ri) for ri in r]
+    p = [jnp.zeros_like(ri) for ri in r]
 
     def cond(state):
         x, r, r_hat, rho, alpha, omega, v, p, it = state
-        return jnp.logical_and(it < max_iter, jnp.any(dot(r, r) > tol_sq))
+        return jnp.logical_and(it < max_iter, jnp.any(_ldot(r, r, nb) > tol_sq))
 
     def body(state):
         x, r, r_hat, rho, alpha, omega, v, p, it = state
-        rho_new = dot(r_hat, r)
+        rho_new = _ldot(r_hat, r, nb)
         beta = (rho_new / safe_denom(rho)) * (alpha / safe_denom(omega))
-        p = r + beta * (p - omega * v)
+        p = [ri + _lbc(beta, ri, nb) * (pi - _lbc(omega, ri, nb) * vi) for ri, pi, vi in zip(r, p, v)]
         ph = M(p) if M is not None else p
         v = A(ph)
-        alpha = rho_new / safe_denom(dot(r_hat, v))
-        s = r - alpha * v
+        alpha = rho_new / safe_denom(_ldot(r_hat, v, nb))
+        s = _lcomb(r, -alpha, v, nb)
         sh = M(s) if M is not None else s
         t = A(sh)
-        omega = dot(t, s) / safe_denom(dot(t, t))
-        active = (dot(r, r) > tol_sq).astype(dtype)
-        x = x + active * (alpha * ph + omega * sh)
-        r = s - omega * t
+        omega = _ldot(t, s, nb) / safe_denom(_ldot(t, t, nb))
+        active = (_ldot(r, r, nb) > tol_sq).astype(dtype)
+        x = [xi + _lbc(active, xi, nb) * (_lbc(alpha, xi, nb) * phi + _lbc(omega, xi, nb) * shi)
+             for xi, phi, shi in zip(x, ph, sh)]
+        r = _lcomb(s, -omega, t, nb)
         return x, r, r_hat, rho_new, alpha, omega, v, p, it + 1
 
     state = (x, r, r_hat, rho, alpha, omega, v, p, jnp.asarray(0, jnp.int32))
     x, r, *_, it = jax.lax.while_loop(cond, body, state)
-    res = jnp.sqrt(dot(r, r))
+    res = jnp.sqrt(_ldot(r, r, nb))
     converged = jnp.all(res ** 2 <= tol_sq)
     return x, res, it, converged
 
@@ -394,34 +456,31 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
         y = solve.preprocessing(y, *solve.preprocessing_args)
     from ._shape import merge_shapes as _merge
     shared_batch = _merge(_batch_shape_of(x0), _batch_shape_of(y))
+    nb = len(shared_batch.names)
     fmt = _VecFormat(x0, shared_batch)
     y_fmt = _VecFormat(y, shared_batch)
-    y_vec = y_fmt.flatten(y)
-    x0_vec = fmt.flatten(x0)
+    y_list = y_fmt.to_list(y)
+    x0_list = fmt.to_list(x0)
     # --- affine offset: b0 = op(0) (constant boundary contributions) ---
     zero_state = _rebuild_from_tensors(x0, [ops.zeros_like(t) for t in _tensor_leaves(x0)])
-    b0 = op(zero_state)
-    b0_vec = y_fmt.flatten(b0)
-    rhs = y_vec - b0_vec
+    b0_list = y_fmt.to_list(op(zero_state))
+    rhs = [yi - bi for yi, bi in zip(y_list, b0_list)]
 
-    def A(x_vec):
-        x_state = fmt.unflatten(x_vec)
-        fx = op(x_state)
-        return y_fmt.flatten(fx) - b0_vec
+    def A(x_list):
+        fx = op(fmt.from_list(x_list))
+        return [fi - bi for fi, bi in zip(y_fmt.to_list(fx), b0_list)]
 
     rank_def = solve.rank_deficiency or 0
     if rank_def:
         # project rhs onto range(A): remove mean (nullspace = constants for Poisson-Neumann)
-        rhs = rhs - jnp.mean(rhs, axis=-1, keepdims=True)
+        rhs = _lsub_mean(rhs, nb)
 
     # --- preconditioner: state-level callable M(state) ≈ A⁻¹ state ---
-    M_vec = None
+    M_list = None
     if callable(solve.preconditioner):
-        def M_vec(r_vec):
-            z_vec = fmt.flatten(solve.preconditioner(fmt.unflatten(r_vec)))
-            if rank_def:
-                z_vec = z_vec - jnp.mean(z_vec, axis=-1, keepdims=True)
-            return z_vec
+        def M_list(r_list):
+            z = fmt.to_list(solve.preconditioner(fmt.from_list(r_list)))
+            return _lsub_mean(z, nb) if rank_def else z
 
     method = solve.method
     if method in ('auto', 'CG', 'CG-adaptive', 'CG-native'):
@@ -436,39 +495,58 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
 
     it_box = {}
 
-    def run_solve(matvec, b):
+    def _flatten_list(arrs):
+        b_vol = max(shared_batch.volume, 1) if shared_batch else 1
+        parts = [a.reshape((b_vol, -1)) for a in arrs]
+        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+
+    def _unflatten_to_list(vec, template_arrs):
+        out = []
+        offset = 0
+        for t in template_arrs:
+            size = int(np.prod(t.shape[nb:])) if t.ndim > nb else 1
+            out.append(vec[:, offset:offset + size].reshape(t.shape))
+            offset += size
+        return out
+
+    def run_solve(matvec, b_list):
         if krylov is None:
-            x, res, it, conv = _direct(matvec, b, x0_vec, rank_deficiency=rank_def)
+            A_flat = lambda v: _flatten_list(matvec(_unflatten_to_list(v, x0_list)))
+            x_flat, res, it, conv = _direct(A_flat, _flatten_list(b_list), _flatten_list(x0_list),
+                                            rank_deficiency=rank_def)
+            x_list = _unflatten_to_list(x_flat, x0_list)
         else:
-            x, res, it, conv = krylov(matvec, b, x0_vec, solve.rel_tol, solve.abs_tol, solve.max_iterations,
-                                      M=M_vec)
+            x_list, res, it, conv = krylov(matvec, b_list, x0_list, solve.rel_tol, solve.abs_tol,
+                                           solve.max_iterations, M=M_list, nb=nb)
         if rank_def:
-            x = x - jnp.mean(x, axis=-1, keepdims=True)
+            x_list = _lsub_mean(x_list, nb)
         it_box['iterations'] = it
         it_box['residual'] = res
         it_box['converged'] = conv
-        return x
+        return x_list
 
     # custom_linear_solve gives us implicit differentiation (adjoint solve on the
     # transpose system) without differentiating through the iteration loop.
     sym = krylov is _cg or krylov is None  # CG/direct used only for symmetric systems here
     try:
-        x_vec = jax.lax.custom_linear_solve(A, rhs, lambda mv, b: run_solve(mv, b),
+        x_out = jax.lax.custom_linear_solve(A, rhs, lambda mv, b: run_solve(mv, b),
                                             transpose_solve=lambda mv, b: run_solve(mv, b),
                                             symmetric=sym)
     except TypeError:
-        x_vec = jax.lax.custom_linear_solve(A, rhs, lambda mv, b: run_solve(mv, b),
+        x_out = jax.lax.custom_linear_solve(A, rhs, lambda mv, b: run_solve(mv, b),
                                             transpose_solve=lambda mv, b: run_solve(mv, b))
-    x = fmt.unflatten(x_vec)
+    x = fmt.from_list(x_out)
     # --- diagnostics & convergence checks ---
     # custom_linear_solve traces its solve closure, so iteration diagnostics from
     # it_box are tracers even in eager mode. When x is concrete, verify
     # convergence post-hoc with one extra matvec (reference behavior: raise
     # Diverged/NotConverged eagerly, phiml Solve API).
-    if not isinstance(x_vec, jax.core.Tracer):
-        r = rhs - A(x_vec)
-        res = np.sqrt(np.sum(np.asarray(r) ** 2, axis=-1))
-        b_norm = np.sqrt(np.sum(np.asarray(rhs) ** 2, axis=-1))
+    if not any(isinstance(xi, jax.core.Tracer) for xi in x_out):
+        r_list = [ri - ai for ri, ai in zip(rhs, A(x_out))]
+        res_sq = np.asarray(_ldot([jnp.asarray(np.asarray(ri)) for ri in r_list],
+                                  [jnp.asarray(np.asarray(ri)) for ri in r_list], nb))
+        res = np.sqrt(res_sq)
+        b_norm = np.sqrt(np.asarray(_ldot(rhs, rhs, nb)))
         tol = np.maximum(solve.abs_tol, solve.rel_tol * b_norm)
         div_val = not bool(np.all(np.isfinite(res)))
         # allow ~10x margin: the while_loop stops on the recurrence residual,
