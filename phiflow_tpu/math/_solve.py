@@ -560,7 +560,13 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
         if not conv_val and NotConverged not in solve.suppress and ConvergenceException not in solve.suppress:
             raise NotConverged(info)
     else:
-        _record(SolveInfo(solve, x, it_box.get('residual'), -1, -1, True, False, solve.method, msg="traced"))
+        # Traced (inside jit): exceptions cannot fire here — convergence state is
+        # surfaced as TRACERS through SolveTape instead (`info.converged`,
+        # `info.residual`, `info.iterations` are jax values the caller can
+        # return from the jitted function or inspect via jax.debug.callback).
+        _record(SolveInfo(solve, x, it_box.get('residual'),
+                          it_box.get('iterations', -1), it_box.get('iterations', -1),
+                          it_box.get('converged', True), False, solve.method, msg="traced"))
     return x
 
 

@@ -152,16 +152,42 @@ def _window_interp_field(field: Field, displacement: Tensor, max_cells: int, ext
     return shift_window_interp(field.values, disp, field.boundary, max_cells, compute_extrema=extrema)
 
 
+def _warn_if_clamped(displacement: Tensor, field: Field, max_cells: int, caller: str):
+    """Eager-mode CFL guard: warn when the bounded window interpolation would
+    clamp the backtrace (|disp| > max_cells·dx). Traced values are skipped —
+    under jit the CFL ≤ max_cells contract is documented at the API level."""
+    import jax
+    try:
+        parts = list(displacement.components) if hasattr(displacement, 'components') else [displacement]
+        natives = [t.native() for t in parts]
+    except Exception:
+        return
+    if any(isinstance(n, jax.core.Tracer) for n in natives):
+        return
+    import numpy as np
+    dx_min = float(np.min(np.asarray(field.dx.native(field.dx.shape.names))))
+    max_disp = max(float(np.max(np.abs(np.asarray(n)))) for n in natives)
+    if max_disp > max_cells * dx_min:
+        import warnings
+        warnings.warn(
+            f"{caller}: backtrace displacement {max_disp:.3g} exceeds max_cells={max_cells} "
+            f"× dx={dx_min:.3g}; the window interpolation clamps it (over-diffusive). "
+            f"Raise max_cells, reduce dt, or pass max_cells=None for unbounded gather lookups.",
+            RuntimeWarning)
+
+
 def semi_lagrangian(field: Field, velocity: Field, dt: float, integrator=euler,
                     max_cells: int = 2) -> Field:
     """Backtrace + interpolate (reference: advect.py:156).
 
     TPU note: with `max_cells=K` (default 2), the backtrace lookup uses bounded
     window-shift interpolation — exact whenever the CFL number ≤ K (displacements
-    beyond K cells are clamped). Pass max_cells=None for the reference's global
-    gather semantics (slow on TPU, needed only for CFL > K)."""
+    beyond K cells are clamped; eager mode warns when that happens). Pass
+    max_cells=None for the reference's global gather semantics (slow on TPU,
+    needed only for CFL > K)."""
     if field.is_grid and max_cells is not None:
         disp = _displacement(field, velocity, -dt, integrator)
+        _warn_if_clamped(disp, field, max_cells, 'semi_lagrangian')
         values = _window_interp_field(field, disp, max_cells)
         return field.with_values(values)
     lookup = integrator(field, velocity, -dt)
@@ -179,6 +205,7 @@ def mac_cormack(field: Field, velocity: Field, dt: float, correction_strength=1.
     if field.is_grid and max_cells is not None:
         disp_bwd = _displacement(field, velocity, -dt, integrator, v0=v0)
         disp_fwd = _displacement(field, velocity, dt, integrator, v0=v0)
+        _warn_if_clamped(disp_bwd, field, max_cells, 'mac_cormack')
         fwd_vals, lim_lo, lim_up = _window_interp_field(field, disp_bwd, max_cells, extrema=True)
         fwd_adv = field.with_values(fwd_vals)
         bwd_vals = _window_interp_field(fwd_adv, disp_fwd, max_cells)

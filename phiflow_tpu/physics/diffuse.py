@@ -31,8 +31,10 @@ def explicit(u: Field, diffusivity: Union[float, Tensor, Field], dt: Union[float
             dx_min = float(min(np.asarray(u.dx.native()))) if u.is_grid else None
             if dx_min is not None:
                 a_max = float(ops.max_(abs(a_val))) if a_val.rank else abs(float(a_val))
-                if a_max > 0.5 * dx_min ** 2:
-                    warnings.warn(f"diffuse.explicit: amount {a_max} exceeds CFL limit {0.5 * dx_min ** 2}; "
+                # d-dimensional explicit-Euler stability limit: dx²/(2d)
+                limit = 0.5 * dx_min ** 2 / len(u.resolution)
+                if a_max > limit:
+                    warnings.warn(f"diffuse.explicit: amount {a_max} exceeds CFL limit {limit}; "
                                   f"increase substeps for stability", stacklevel=2)
     except Exception:
         pass

@@ -48,31 +48,46 @@ class CheckpointManager:
 
 
 def save_checkpoint(path: str, state: Any):
-    """One-shot checkpoint save of an arbitrary pytree (atomic: tmp + rename)."""
+    """One-shot checkpoint save of an arbitrary pytree (atomic: tmp + rename).
+
+    The saved file is self-describing: the whole (numpy-converted) pytree is
+    pickled, so restoring does not require a structure template. Leaves are
+    stored separately too so a `template` restore still works even if the
+    container classes changed between save and load.
+    """
     import pickle
     path = os.path.abspath(os.path.expanduser(path))
     if not path.endswith('.pkl'):
         path += '.pkl'
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    leaves, treedef = jax.tree_util.tree_flatten(_to_saveable(state))
+    saveable = _to_saveable(state)
+    leaves, _ = jax.tree_util.tree_flatten(saveable)
     tmp = path + '.tmp'
     with open(tmp, 'wb') as f:
-        pickle.dump({'leaves': leaves, 'treedef_repr': str(treedef)}, f)
+        pickle.dump({'tree': saveable, 'leaves': leaves}, f)
     os.replace(tmp, path)
     return path
 
 
 def load_checkpoint(path: str, template: Any = None):
-    """Restore a pytree saved by `save_checkpoint`. `template` supplies the tree
-    structure (required for custom pytree nodes)."""
+    """Restore a pytree saved by `save_checkpoint`.
+
+    Without `template`, returns the pickled tree itself (self-describing). With
+    `template`, the stored leaves are unflattened into the template's structure
+    — use this when class definitions changed since the save.
+
+    Security note: this uses pickle — only load checkpoint files you trust
+    (pickle.load of untrusted data can execute arbitrary code).
+    """
     import pickle
     path = os.path.abspath(os.path.expanduser(path))
     if not path.endswith('.pkl'):
         path += '.pkl'
     with open(path, 'rb') as f:
         data = pickle.load(f)
-    leaves = data['leaves']
     if template is not None:
         treedef = jax.tree_util.tree_structure(template)
-        return jax.tree_util.tree_unflatten(treedef, leaves)
-    return leaves
+        return jax.tree_util.tree_unflatten(treedef, data['leaves'])
+    if 'tree' in data:
+        return data['tree']
+    return data['leaves']  # legacy format without template
