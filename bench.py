@@ -2,7 +2,9 @@
 
 Runs the flagship config (MacCormack smoke + semi-Lagrangian staggered velocity +
 pressure CG projection — reference recipe examples/grids/Smoke_Plume.ipynb) on
-the default device and prints ONE JSON line.
+the default device and prints ONE JSON line. Per-phase timings (advect_smoke /
+advect_velocity / pressure projection) and CG iteration counts are included so
+perf regressions can be localized.
 """
 import json
 import os
@@ -19,46 +21,114 @@ def _setup_jax():
     return jax
 
 
+def _hard_sync(*fields):
+    """Block until computed: reduce ON DEVICE and fetch one scalar per field —
+    np.asarray(full_field) would pull resolution³ floats through the tunnel."""
+    import numpy as np
+    import jax.numpy as jnp
+    out = 0.0
+    for f in fields:
+        t = f.values if hasattr(f, 'values') else f
+        natives = [c.native() for c in t.components] if hasattr(t, 'components') else [t.native()]
+        out += sum(float(np.asarray(jnp.sum(n))) for n in natives)
+    return out
+
+
+def _time_fn(fn, args, steps, sync):
+    """Median-free simple timing: total wall clock over `steps` calls + sync."""
+    out = None
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / steps, out
+
+
 def run_bench(resolution: int, dims: int = 3, steps: int = 20, warmup: int = 3, cg_tol: float = 1e-3,
-              max_iterations: int = 100):
+              max_iterations: int = 100, phases: bool = True):
     jax = _setup_jax()
     from phiflow_tpu.models import SmokePlume
+    from phiflow_tpu.math import SolveTape
 
     model = SmokePlume(resolution=resolution, dims=dims, cg_tol=cg_tol, max_iterations=max_iterations)
     v, s, p = model.initial_state()
-
-    import numpy as np
-
-    def hard_sync(field):
-        # value fetch: block_until_ready can return early on tunneled backends.
-        # Reduce ON DEVICE and fetch one scalar — np.asarray(full_field) would
-        # pull resolution³ floats through the tunnel (512MB at 512³) and
-        # dominate the measurement.
-        import jax.numpy as jnp
-        return float(np.asarray(jnp.sum(field.values.native())))
 
     step = jax.jit(model.step)
     t_compile = time.perf_counter()
     # warmup: ≥2 calls — the state pytree structure stabilizes after the first step
     for _ in range(max(warmup, 2)):
         v, s, p = step(v, s, p)
-    hard_sync(s)
+    _hard_sync(s)
     t_compile = time.perf_counter() - t_compile
 
     t0 = time.perf_counter()
+    vv, ss, pp = v, s, p
     for _ in range(steps):
-        v, s, p = step(v, s, p)
-    hard_sync(s)
+        vv, ss, pp = step(vv, ss, pp)
+    _hard_sync(ss)
     elapsed = time.perf_counter() - t0
     per_step = elapsed / steps
     cells = resolution ** dims
-    return {
+    result = {
         'resolution': resolution,
         'dims': dims,
         'per_step_ms': per_step * 1000,
         'cells_per_sec': cells / per_step,
         'compile_s': t_compile,
     }
+    if phases:
+        # --- per-phase timings on the post-warmup state (realistic fields) ---
+        import numpy as np
+        from phiflow_tpu.math import Solve, ConvergenceException
+        from phiflow_tpu.physics import fluid
+
+        def project_with_iters(vel, prev_p):
+            """Projection with a forward-only solve (implicit_diff=False) so the
+            CG iteration count is a main-trace value we can return from jit."""
+            solve = Solve('CG', model.cg_tol, 0., x0=prev_p, max_iterations=model.max_iterations,
+                          suppress=(ConvergenceException,), implicit_diff=False)
+            with SolveTape() as tape:
+                vel2, p2 = fluid.make_incompressible(vel, (), solve)
+            return vel2, p2, tape.solve_infos[-1].iterations
+
+        ph = {}
+        f_smoke = jax.jit(model.advect_smoke)
+        f_vel = jax.jit(model.advect_velocity)
+        f_proj = jax.jit(model.project)
+        f_proj_it = jax.jit(project_with_iters)
+        s2 = f_smoke(v, s)
+        v2 = f_vel(v, s2)
+        v3, p3 = f_proj(v2, p)
+        _hard_sync(s2, v2, v3)  # compile + settle
+        n = max(3, steps // 2)
+        ph['advect_smoke_ms'] = _time_fn(f_smoke, (v, s), n, lambda o: _hard_sync(o))[0] * 1000
+        ph['advect_velocity_ms'] = _time_fn(f_vel, (v, s2), n, lambda o: _hard_sync(o))[0] * 1000
+        ph['pressure_ms'] = _time_fn(f_proj, (v2, p), n, lambda o: _hard_sync(o[0]))[0] * 1000
+        _, _, iters = f_proj_it(v2, p)
+        ph['cg_iterations'] = int(np.asarray(iters))
+        result['phases'] = ph
+        del s2, v2, v3, p3  # free HBM before the caller reuses the device
+    return result
+
+
+def run_kolmogorov(resolution: int = 512, steps: int = 10, warmup: int = 2, order: int = 6):
+    """Flagship config #4 (BASELINE.md): order-6 Kolmogorov flow with
+    incompressible_rk4 — validates the FFT-free compact-scheme path on TPU."""
+    jax = _setup_jax()
+    from phiflow_tpu.models import KolmogorovFlow
+    model = KolmogorovFlow(resolution=resolution, order=order, dt=0.002)
+    v, p = model.initial_state()
+    step = jax.jit(model.step)
+    for _ in range(max(warmup, 2)):
+        v, p = step(v, p)
+    _hard_sync(v)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        v, p = step(v, p)
+    _hard_sync(v)
+    per_step = (time.perf_counter() - t0) / steps
+    return {'resolution': resolution, 'order': order, 'per_step_ms': per_step * 1000,
+            'cells_per_sec': resolution ** 2 / per_step}
 
 
 def main():
@@ -66,9 +136,16 @@ def main():
     results = {}
     for res in (64, 128, 256, 512):
         try:
-            results[res] = run_bench(res, dims=3, steps=10 if res < 512 else 4, warmup=3)
-            sys.stderr.write(f"bench {res}^3: {results[res]['per_step_ms']:.1f} ms/step "
-                             f"({results[res]['cells_per_sec'] / 1e6:.1f} Mcells/s)\n")
+            # phases off at 512³: the extra per-phase buffers don't fit HBM
+            results[res] = run_bench(res, dims=3, steps=10 if res < 512 else 4, warmup=3,
+                                     phases=res < 512)
+            r = results[res]
+            ph = r.get('phases', {})
+            detail = (f" [smoke {ph.get('advect_smoke_ms', 0):.1f} + vel {ph.get('advect_velocity_ms', 0):.1f}"
+                      f" + pressure {ph.get('pressure_ms', 0):.1f} ms, {ph.get('cg_iterations', '?')} CG iters]"
+                      if ph else "")
+            sys.stderr.write(f"bench {res}^3: {r['per_step_ms']:.1f} ms/step "
+                             f"({r['cells_per_sec'] / 1e6:.1f} Mcells/s){detail}\n")
         except Exception as exc:  # OOM or compile failure at large sizes
             sys.stderr.write(f"bench {res}^3 failed: {type(exc).__name__}: {exc}\n")
             break
@@ -76,6 +153,12 @@ def main():
         print(json.dumps({'metric': 'cells/sec/chip 3D smoke plume', 'value': 0.0,
                           'unit': 'cells/s', 'vs_baseline': None, 'error': 'all sizes failed'}))
         return
+    kolmogorov = None
+    try:
+        kolmogorov = run_kolmogorov(512)
+        sys.stderr.write(f"kolmogorov 512^2 order-6: {kolmogorov['per_step_ms']:.1f} ms/step\n")
+    except Exception as exc:
+        sys.stderr.write(f"kolmogorov bench failed: {type(exc).__name__}: {exc}\n")
     best_res = max(results)
     best = results[best_res]
     print(json.dumps({
@@ -85,6 +168,11 @@ def main():
         'vs_baseline': None,  # reference publishes no numbers (BASELINE.md)
         'per_step_ms': round(best['per_step_ms'], 2),
         'all': {f"{k}^3": round(val['cells_per_sec'], 1) for k, val in results.items()},
+        'phases': {f"{k}^3": {kk: (round(vv, 2) if isinstance(vv, float) else vv)
+                              for kk, vv in val.get('phases', {}).items()}
+                   for k, val in results.items()},
+        'kolmogorov_512^2_order6': ({'per_step_ms': round(kolmogorov['per_step_ms'], 2)}
+                                    if kolmogorov else None),
         'device': str(jax.devices()[0]),
     }))
 

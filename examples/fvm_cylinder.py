@@ -11,13 +11,16 @@ v = Field(m, vec(x=1., y=0.), bc)
 
 @jit_compile_linear
 def momentum_eq(u, u_prev, dt, viscosity=0.01):
+    """Backward-Euler operator: u_next − dt·(advection + diffusion) = u_prev,
+    with advection = −u·∇u and diffusion = +ν·Δu (reference composition:
+    examples/mesh/FVM_Cylinder_GMsh.ipynb passes dt=−dt into u + dt·(...))."""
     diffusion = viscosity * laplace(u).values
     advection = advect.differential(u, u_prev, order=1).values
-    return u.with_values(u.values - dt * (-advection - diffusion))
+    return u.with_values(u.values - dt * (advection + diffusion))
 
 
 dt = 0.05
 for i in range(20):
-    v = math.solve_linear(momentum_eq, v, Solve('scipy-direct', 1e-5, x0=v, suppress=(ConvergenceException,)), v, dt)
-    v, p = fluid.make_incompressible(v, (), Solve('scipy-direct', 1e-5, suppress=(ConvergenceException,)))
+    v = math.solve_linear(momentum_eq, v, Solve('biCG-stab', 1e-5, 1e-5, x0=v, suppress=(ConvergenceException,)), v, dt)
+    v, p = fluid.make_incompressible(v, (), Solve('biCG-stab', 1e-5, 1e-5, suppress=(ConvergenceException,)))
 print(f"mean u_x: {float(math.mean(v.values[{'vector': 'x'}])):.3f}")

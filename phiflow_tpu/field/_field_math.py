@@ -56,6 +56,24 @@ def bake_extrapolation(grid: Field) -> Field:
     return Field(grid.geometry.padded({d: (1, 1) for d in grid.resolution.names}), values, extrapolation_mod.NONE)
 
 
+def _axes_periodic(field: Field, dims) -> bool:
+    """True if the field boundary is periodic along every dim in `dims`."""
+    from ._stencil1d import classify_side
+    return all(classify_side(field.boundary, d, False) == 'periodic' and
+               classify_side(field.boundary, d, True) == 'periodic' for d in dims)
+
+
+def _use_ghost_pad_order4(field: Field, dims) -> bool:
+    """Dispatch for order-4 explicit schemes: the cheap shift/ghost-pad path is
+    exact for periodic BCs; for exotic (unclassifiable) boundaries it is the
+    only option (2nd-order accurate at the boundary). Classifiable non-periodic
+    BCs go through the one-sided matrix engine instead."""
+    from ._higher_order import _axis_bc
+    if _axes_periodic(field, dims):
+        return True
+    return any(_axis_bc(field, d) is None for d in dims)
+
+
 # ---------------------------------------------------------------------------
 # laplace
 # ---------------------------------------------------------------------------
@@ -86,8 +104,10 @@ def laplace(field: Field, axes=None, gradient: Field = None, order=2, implicit=N
             up = padded[{dim: slice(2, n + 2)}]
             term = (lo + up - 2 * ce) / dx2
             result = term if result is None else result + term
-    elif order == 4 and implicit is None:
-        # standard 4th-order central: (-1, 16, -30, 16, -1) / (12 dx²)
+    elif order == 4 and implicit is None and _use_ghost_pad_order4(field, dims):
+        # periodic: standard 4th-order central (-1, 16, -30, 16, -1) / (12 dx²)
+        # via wrap-around pads; non-periodic BCs go through the matrix engine
+        # below (ghost-cell pads are only 2nd-order accurate at boundaries)
         result = None
         for dim in dims:
             dx2 = _dx(field, dim) ** 2
@@ -142,7 +162,7 @@ def spatial_gradient(field: Field,
                 padded = ops.pad(v, {dim: (1, 1)}, field.boundary)
                 n = v.shape.get_size(dim)
                 comps[dim] = (padded[{dim: slice(2, n + 2)}] - padded[{dim: slice(0, n)}]) / (2 * dx)
-            elif order == 4:
+            elif order == 4 and _use_ghost_pad_order4(field, [dim]):
                 padded = ops.pad(v, {dim: (2, 2)}, field.boundary)
                 n = v.shape.get_size(dim)
                 m2 = padded[{dim: slice(0, n)}]
@@ -157,6 +177,9 @@ def spatial_gradient(field: Field,
         return Field(field.geometry, values, grad_ext)
     elif at == 'face':
         assert field.is_centered
+        if order > 2:
+            from ._higher_order import higher_order_gradient
+            return higher_order_gradient(field, grad_ext, at, dims, stack_dim, order, implicit)
         comps = []
         for dim in dims:
             dx = _dx(field, dim)
@@ -576,12 +599,32 @@ def frequency_loss(field, frequency_falloff=100, threshold=1e-5, ignore_mean=Fal
         return sum([frequency_loss(c, frequency_falloff, threshold, ignore_mean) for c in values.components])
     if ignore_mean:
         values = values - ops.mean(values, values.shape.non_batch)
-    k = ops.fftfreq(values.shape.spatial)
-    k2 = ops.vec_squared(k)
-    weights = ops.exp(-0.5 * k2 * frequency_falloff ** 2)
-    diff_fft = ops.fft(values) 
-    sq = ops.real(diff_fft) ** 2 + ops.imag(diff_fft) ** 2
-    return ops.sum_(sq * weights, sq.shape.non_batch) * 0.5
+    # |û|²-weighted loss via matmul-DFT (TPU-safe: no device FFT)
+    import jax.numpy as jnp
+    import numpy as np
+    from ..math._nd import _dft_mats, _axis_matmul
+    native = values.native()
+    names = values.shape.names
+    dims = values.shape.spatial.names
+    axes = [names.index(d) for d in dims]
+    re, im = native, jnp.zeros_like(native)
+    for ax in axes:
+        (fr, fi), _ = _dft_mats(native.shape[ax])
+        re, im = (_axis_matmul(re, ax, fr) - _axis_matmul(im, ax, fi),
+                  _axis_matmul(re, ax, fi) + _axis_matmul(im, ax, fr))
+    k2_nd = None
+    for i, (d, ax) in enumerate(zip(dims, axes)):
+        k = np.fft.fftfreq(native.shape[ax]) ** 2
+        k = k.reshape([-1 if j == i else 1 for j in range(len(dims))])
+        k2_nd = k if k2_nd is None else k2_nd + k
+    w_nd = np.exp(-0.5 * k2_nd * frequency_falloff ** 2).astype(np.float32)
+    fshape = [native.shape[a] if a in axes else 1 for a in range(native.ndim)]
+    w = jnp.asarray(w_nd).reshape(fshape)
+    sq = (re ** 2 + im ** 2) * w
+    batch_axes = tuple(i for i, nm in enumerate(names) if values.shape[nm].is_batch)
+    total = jnp.sum(sq, axis=tuple(a for a in range(native.ndim) if a not in batch_axes)) * 0.5
+    from ..math._shape import Shape as _Shape
+    return Tensor(total, values.shape.batch)
 
 
 # ---------------------------------------------------------------------------

@@ -4,12 +4,12 @@ Reference counterpart: the compact-FD engine in
 /root/reference/phi/field/_field_math.py:259-470 (get_stencils /
 perform_finite_difference_operation / Taylor-table get_coefficients:1191).
 
-TPU-native design: instead of tracing implicit compact schemes into sparse
-tridiagonal solves (the reference's path), periodic grids evaluate the compact
-6th-order operator **spectrally** — the tridiagonal LHS is circulant, so the
-implicit solve becomes an exact per-wavenumber scale factor fused into one
-FFT·scale·iFFT, which maps far better onto TPU than a sequential Thomas solve.
-Non-periodic boundaries use explicit one-sided 4th/6th-order stencils.
+TPU-native design (see `_stencil1d`): each 1-D derivative along an axis —
+including BC-aware one-sided boundary rows and the compact (implicit) LHS —
+is precomputed at trace time as a dense operator matrix and applied as a
+single MXU `tensordot`. This covers periodic (circulant), Dirichlet, and
+zero-gradient boundaries uniformly, replaces the reference's per-application
+tridiagonal solves, and uses no device FFT (broken on this TPU runtime).
 """
 from __future__ import annotations
 
@@ -19,92 +19,75 @@ from ..math import Tensor, Shape, wrap, channel, dual, spatial
 from ..math import _ops as ops
 from ..math import extrapolation as extrapolation_mod
 from ._field import Field
+from ._stencil1d import derivative_matrix, apply_axis_matrix, classify_side
 
-__all__ = ['higher_order_laplace', 'higher_order_gradient', 'compact_wavenumbers']
-
-
-def _is_periodic(field: Field) -> bool:
-    b = field.boundary
-    if b == extrapolation_mod.PERIODIC:
-        return True
-    try:
-        return all(b._get(dim, False) == extrapolation_mod.PERIODIC and
-                   b._get(dim, True) == extrapolation_mod.PERIODIC
-                   for dim in field.resolution.names)
-    except Exception:
-        return False
+__all__ = ['higher_order_laplace', 'higher_order_gradient']
 
 
-def compact_wavenumbers(n: int, h: float, order: int, derivative: int) -> np.ndarray:
-    """Modified wavenumbers of the compact (implicit) scheme — exact spectral
-    representation of the circulant tridiagonal system for periodic BCs.
-
-    derivative=1 (Lele C6): α=1/3, a=14/9, b=1/9.
-    derivative=2 (C6):      α=2/11, a=12/11, b=3/11.
-    """
-    k = 2 * np.pi * np.fft.fftfreq(n)  # kh ∈ [−π, π)
-    if derivative == 1:
-        if order == 6:
-            alpha, a, b = 1 / 3, 14 / 9, 1 / 9
-        elif order == 4:
-            alpha, a, b = 1 / 4, 3 / 2, 0.
-        else:
-            raise NotImplementedError(f"compact order {order}")
-        num = a * np.sin(k) + (b / 2) * np.sin(2 * k)
-        den = h * (1 + 2 * alpha * np.cos(k))
-        return num / den  # multiplied by i in the caller
-    elif derivative == 2:
-        if order == 6:
-            alpha, a, b = 2 / 11, 12 / 11, 3 / 11
-        elif order == 4:
-            alpha, a, b = 1 / 10, 6 / 5, 0.
-        else:
-            raise NotImplementedError(f"compact order {order}")
-        num = 2 * a * (1 - np.cos(k)) + (b / 2) * (1 - np.cos(2 * k))
-        den = h ** 2 * (1 + 2 * alpha * np.cos(k))
-        return -num / den
-    raise ValueError(derivative)
+def _axis_bc(field: Field, dim: str):
+    """(bc_lo, bc_hi) specs for `derivative_matrix`, or None if the boundary
+    cannot be classified (caller falls back / raises)."""
+    lo = classify_side(field.boundary, dim, False)
+    hi = classify_side(field.boundary, dim, True)
+    if lo is None or hi is None:
+        return None
+    if ('periodic' in (lo, hi)) and lo != hi:
+        return None
+    return lo, hi
 
 
-def _apply_spectral(values: Tensor, dim: str, factors: np.ndarray, imag: bool) -> Tensor:
-    fft = ops.fft(values, dim)
-    f = wrap(factors.astype(np.complex64) * (1j if imag else 1.0), values.shape[dim])
-    return ops.real(ops.ifft(fft._op2(f, lambda a, b: a * b), dim))
+def _apply_derivative(values: Tensor, field: Field, dim: str, deriv: int, order: int,
+                      implicit_order: int, staggered_out=False,
+                      out_lo_valid=True, out_hi_valid=True) -> Tensor:
+    bc = _axis_bc(field, dim)
+    assert bc is not None, \
+        f"order-{order} derivatives require periodic / constant / zero-gradient " \
+        f"boundaries along {dim}, got {field.boundary}"
+    n = field.resolution.get_size(dim)
+    h = float(field.dx.vector[dim])
+    M, affine = derivative_matrix(n, deriv, order, h, bc[0], bc[1],
+                                  staggered_out=staggered_out,
+                                  out_lo_valid=out_lo_valid, out_hi_valid=out_hi_valid,
+                                  implicit_order=implicit_order)
+    axis = values.shape.names.index(dim)
+    native = apply_axis_matrix(values.native(), axis, M, affine)
+    out_shape = values.shape.with_dim_size(dim, native.shape[axis])
+    return Tensor(native, out_shape)
+
+
+def _implicitness(order: int, implicit) -> int:
+    """Scheme selection: order 6 uses the compact (tridiagonal) scheme as in the
+    reference; its LHS is folded into the operator matrix at trace time, so the
+    `implicit` Solve argument is accepted for API parity but not needed."""
+    return 2 if (order >= 6 or implicit is not None) else 0
 
 
 def higher_order_gradient(field: Field, grad_ext, at: str, dims, stack_dim, order: int, implicit) -> Field:
-    """6th-order (implicit-compact, evaluated spectrally) gradient for periodic grids."""
-    assert _is_periodic(field), \
-        "order>4 gradients currently require periodic boundaries (compact scheme via FFT); " \
-        "use order<=4 for other BCs"
+    """Order-4/6 (compact) gradient with BC-aware one-sided boundary stencils.
+    Reference: spatial_gradient order-6 path, phi/field/_field_math.py:148-257."""
     dims = dims or field.resolution.names
+    impl = _implicitness(order, implicit)
+    if at == 'face':
+        comps = []
+        for dim in dims:
+            lo_v, up_v = grad_ext.valid_outer_faces(dim)
+            comps.append(_apply_derivative(field.values, field, dim, 1, order, impl,
+                                           staggered_out=True, out_lo_valid=lo_v, out_hi_valid=up_v))
+        values = ops.stack(comps, dual(vector=list(dims)))
+        return Field(field.geometry, values, grad_ext)
     comps = {}
     for dim in dims:
-        h = float(field.dx.vector[dim])
-        n = field.resolution.get_size(dim)
-        wavenumbers = compact_wavenumbers(n, h, order, derivative=1)
-        comps[dim] = _apply_spectral(field.values, dim, wavenumbers, imag=True)
+        comps[dim] = _apply_derivative(field.values, field, dim, 1, order, impl)
     values = ops.stack(comps, stack_dim)
-    if at == 'face':
-        # interpolate spectrally computed centered gradient to faces via 2nd-order average
-        from ._field_math import spatial_gradient as sg
-        centered = Field(field.geometry, values, grad_ext)
-        from ._resample import sample
-        face_vals = sample(centered, field.geometry, at='face', boundary=grad_ext, dot_face_normal=field.geometry)
-        return Field(field.geometry, face_vals, grad_ext)
     return Field(field.geometry, values, grad_ext)
 
 
 def higher_order_laplace(field: Field, order: int = 6, implicit=None) -> Field:
-    """6th-order compact Laplacian (spectral evaluation, periodic BCs)."""
-    assert _is_periodic(field), \
-        "order>4 laplace currently requires periodic boundaries (compact scheme via FFT); " \
-        "use order<=4 for other BCs"
+    """Order-4/6 (compact) Laplacian with BC-aware one-sided boundary stencils.
+    Reference: laplace higher-order path, phi/field/_field_math.py:46-117."""
+    impl = _implicitness(order, implicit)
     result = None
     for dim in field.resolution.names:
-        h = float(field.dx.vector[dim])
-        n = field.resolution.get_size(dim)
-        wavenumbers = compact_wavenumbers(n, h, order, derivative=2)
-        term = _apply_spectral(field.values, dim, wavenumbers, imag=False)
+        term = _apply_derivative(field.values, field, dim, 2, order, impl)
         result = term if result is None else result + term
     return Field(field.geometry, result, field.boundary.spatial_gradient())

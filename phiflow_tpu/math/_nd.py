@@ -213,25 +213,120 @@ def laplace_t(x: Tensor, dx=1, padding=BOUNDARY, dims=None, weights=None) -> Ten
     return sum_(result, '_lap')
 
 
+# ---------------------------------------------------------------------------
+# matmul-based spectral ops (TPU-safe: no device FFT, which is unavailable on
+# this TPU runtime; per-axis DFT/circulant matrices are host-precomputed and
+# applied as MXU matmuls — O(N) matrices are trace-time literals)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
+def _circulant(spectrum_key) -> np.ndarray:
+    """Real circulant matrix C = F⁻¹·diag(spectrum)·F for a real, even-in-k
+    spectrum (length-n tuple). C[i, j] = c[(i − j) mod n], c = ifft(spectrum)."""
+    spectrum = np.asarray(spectrum_key, np.float64)
+    n = len(spectrum)
+    c = np.real(np.fft.ifft(spectrum))
+    idx = (np.arange(n)[:, None] - np.arange(n)[None, :]) % n
+    return c[idx]
+
+
+@_functools.lru_cache(maxsize=32)
+def _dft_mats(n: int):
+    """(re, im) parts of the unitary-free DFT matrix W[k, j] = exp(−2πi·k·j/n)
+    and of its inverse (with the 1/n factor folded into the inverse)."""
+    j = np.arange(n)
+    ang = -2 * np.pi * np.outer(j, j) / n
+    fwd = np.cos(ang), np.sin(ang)
+    inv = np.cos(ang).T / n, -np.sin(ang).T / n
+    return fwd, inv
+
+
+def _axis_matmul(native, axis: int, M: np.ndarray, dtype=None):
+    out_dtype = dtype or native.dtype
+    Mj = jnp.asarray(M.astype(np.float64 if out_dtype == jnp.float64 else np.float32))
+    out = jnp.tensordot(native, Mj, axes=((axis,), (1,)), precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out, -1, axis).astype(out_dtype)
+
+
+def _spectral_separable(grid: Tensor, per_axis_spectra: dict, combine: str) -> Tensor:
+    """Apply F⁻¹·diag(Π_d or Σ_d s_d(k_d))·F via per-axis circulant matmuls.
+    combine='mul': factors multiply (sequential application);
+    combine='sum': factors add (summed applications)."""
+    native = grid.native()
+    names = grid.shape.names
+    if combine == 'mul':
+        out = native
+        for dim, spec in per_axis_spectra.items():
+            out = _axis_matmul(out, names.index(dim), _circulant(tuple(np.asarray(spec))))
+    else:
+        out = None
+        for dim, spec in per_axis_spectra.items():
+            term = _axis_matmul(native, names.index(dim), _circulant(tuple(np.asarray(spec))))
+            out = term if out is None else out + term
+    return Tensor(out, grid.shape)
+
+
+def _spectral_pointwise(grid: Tensor, factor_nd: np.ndarray, dims) -> Tensor:
+    """Full N-D spectral filter F⁻¹·diag(factor)·F via per-axis matmul-DFTs
+    (complex arithmetic tracked as separate real/imag arrays)."""
+    native = grid.native()
+    names = grid.shape.names
+    axes = [names.index(d) for d in dims]
+    re, im = native, jnp.zeros_like(native)
+    for ax in axes:
+        (fr, fi), _ = _dft_mats(native.shape[ax])
+        re, im = (_axis_matmul(re, ax, fr) - _axis_matmul(im, ax, fi),
+                  _axis_matmul(re, ax, fi) + _axis_matmul(im, ax, fr))
+    fshape = [native.shape[a] if a in axes else 1 for a in range(native.ndim)]
+    f = jnp.asarray(factor_nd.astype(np.float32 if native.dtype != jnp.float64 else np.float64)).reshape(fshape)
+    re, im = re * f, im * f
+    for ax in axes:
+        _, (ir, ii) = _dft_mats(native.shape[ax])
+        re, im = (_axis_matmul(re, ax, ir) - _axis_matmul(im, ax, ii),
+                  _axis_matmul(re, ax, ii) + _axis_matmul(im, ax, ir))
+    return Tensor(re, grid.shape)
+
+
+def _k_grids(grid: Tensor, dx):
+    """Per-axis wavenumber arrays k_d (cycles per unit length) as numpy."""
+    dims = grid.shape.spatial.names
+    if hasattr(dx, 'native'):
+        dx_arr = np.asarray(dx.native(dx.shape.names), np.float64).reshape(-1)
+    else:
+        dx_arr = np.asarray(dx, np.float64).reshape(-1)
+    if dx_arr.size == 1:
+        dx_arr = np.repeat(dx_arr, len(dims))
+    return {d: np.fft.fftfreq(grid.shape.get_size(d), d=dx_arr[i]) for i, d in enumerate(dims)}
+
+
 def fourier_laplace(grid: Tensor, dx, times=1) -> Tensor:
-    """Exact spectral Laplacian (periodic): ifft(fft(x)·(−(2πk)²)ⁿ).
-    Reference: phi/field/_field_math.py:730."""
-    k = ops.fftfreq(grid.shape.spatial, dx=dx)
-    k2 = ops.vec_squared(k)
-    fft_lap = (-4 * np.pi ** 2 * k2) ** times
-    result = ops.ifft(ops.fft(grid) * ops.cast(fft_lap, ops.fft(grid).dtype))
-    return ops.real(result)
+    """Exact spectral Laplacian (periodic): F⁻¹·(−(2πk)²)ⁿ·F.
+    Reference: phi/field/_field_math.py:730. Evaluated as per-axis circulant
+    matmuls (times=1: Σ_d −4π²k_d² is separable as a sum); the general power
+    goes through the full matmul-DFT."""
+    ks = _k_grids(grid, dx)
+    if times == 1:
+        return _spectral_separable(grid, {d: -4 * np.pi ** 2 * k ** 2 for d, k in ks.items()}, 'sum')
+    dims = list(ks)
+    k2 = sum(np.square(k).reshape([-1 if i == j else 1 for j in range(len(dims))])
+             for i, (d, k) in enumerate(ks.items()))
+    return _spectral_pointwise(grid, (-4 * np.pi ** 2 * k2) ** times, dims)
 
 
 def fourier_poisson(grid: Tensor, dx, times=1) -> Tensor:
-    """Inverse Laplacian via FFT (periodic), zero-mean solution."""
-    k = ops.fftfreq(grid.shape.spatial, dx=dx)
-    k2 = ops.vec_squared(k)
-    fft_lap = (-4 * np.pi ** 2 * k2) ** times
-    inv = ops.safe_div(ops.ones_like(fft_lap), fft_lap)
-    gf = ops.fft(grid)
-    result = ops.ifft(gf * ops.cast(inv, gf.dtype))
-    return ops.real(result)
+    """Inverse Laplacian (periodic), zero-mean solution — full matmul-DFT with
+    the 1/(−(2πk)²)ⁿ multiplier (k=0 mode zeroed)."""
+    ks = _k_grids(grid, dx)
+    dims = list(ks)
+    k2 = sum(np.square(k).reshape([-1 if i == j else 1 for j in range(len(dims))])
+             for i, (d, k) in enumerate(ks.items()))
+    lap = (-4 * np.pi ** 2 * k2) ** times
+    with np.errstate(divide='ignore', invalid='ignore'):
+        inv = np.where(lap != 0, 1.0 / np.where(lap == 0, 1.0, lap), 0.0)
+    return _spectral_pointwise(grid, inv, dims)
 
 
 def downsample2x(grid: Tensor, padding=BOUNDARY, dims=None) -> Tensor:

@@ -48,7 +48,7 @@ class Solve:
     def __init__(self, method: str = 'auto', rel_tol: float = None, abs_tol: float = None,
                  x0=None, max_iterations: int = 1000, suppress: tuple = (),
                  preprocessing=None, preprocessing_args: tuple = (), rank_deficiency: int = None,
-                 preconditioner=None, gradient_solve: 'Solve' = None):
+                 preconditioner=None, gradient_solve: 'Solve' = None, implicit_diff: bool = True):
         self.method = method
         self.rel_tol = rel_tol
         self.abs_tol = abs_tol
@@ -60,6 +60,11 @@ class Solve:
         self.rank_deficiency = rank_deficiency
         self.preconditioner = preconditioner
         self._gradient_solve = gradient_solve
+        # implicit_diff=False runs the Krylov loop directly (no custom_linear_solve
+        # wrapper). Forward-only: reverse-mode grads cannot flow through the
+        # while_loop — but SolveInfo diagnostics (iterations, residual) become
+        # main-trace values that jitted callers can return as outputs.
+        self.implicit_diff = implicit_diff
 
     @property
     def gradient_solve(self) -> 'Solve':
@@ -81,7 +86,7 @@ class Solve:
                     max_iterations=self.max_iterations, suppress=self.suppress,
                     preprocessing=self.preprocessing, preprocessing_args=self.preprocessing_args,
                     rank_deficiency=self.rank_deficiency, preconditioner=self.preconditioner,
-                    gradient_solve=self._gradient_solve)
+                    gradient_solve=self._gradient_solve, implicit_diff=self.implicit_diff)
 
 
 def copy_solve(solve: Solve, **updates) -> Solve:
@@ -95,22 +100,29 @@ def copy_solve(solve: Solve, **updates) -> Solve:
 def _solve_flatten(s: Solve):
     return (s.x0, s.preprocessing_args), (s.method, s.rel_tol, s.abs_tol, s.max_iterations,
                                           s.suppress, s.preprocessing, s.rank_deficiency,
-                                          s.preconditioner, s._gradient_solve)
+                                          s.preconditioner, s._gradient_solve, s.implicit_diff)
 
 
 def _solve_unflatten(aux, children):
     x0, pre_args = children
-    method, rel_tol, abs_tol, max_iter, suppress, preprocessing, rank_def, precond, grad_solve = aux
-    return Solve(method, rel_tol, abs_tol, x0, max_iter, suppress, preprocessing, pre_args, rank_def, precond, grad_solve)
+    method, rel_tol, abs_tol, max_iter, suppress, preprocessing, rank_def, precond, grad_solve, impl_diff = aux
+    return Solve(method, rel_tol, abs_tol, x0, max_iter, suppress, preprocessing, pre_args, rank_def, precond,
+                 grad_solve, impl_diff)
 
 
 jax.tree_util.register_pytree_node(Solve, _solve_flatten, _solve_unflatten)
 
 
 class SolveInfo:
-    """Result diagnostics of a solve."""
+    """Result diagnostics of a solve.
 
-    def __init__(self, solve: Solve, x, residual, iterations, function_evaluations, converged, diverged, method, msg=""):
+    Inside jit, `iterations`/`residual`/`converged` are tracers; concrete
+    per-execution numbers are delivered asynchronously into `runtime_stats`
+    (a dict filled via jax.debug.callback when a SolveTape was active during
+    tracing — read it after the computation has been synced)."""
+
+    def __init__(self, solve: Solve, x, residual, iterations, function_evaluations, converged, diverged, method, msg="",
+                 runtime_stats: Optional[dict] = None):
         self.solve = solve
         self.x = x
         self.residual = residual
@@ -120,6 +132,7 @@ class SolveInfo:
         self.diverged = diverged
         self.method = method
         self.msg = msg
+        self.runtime_stats = runtime_stats if runtime_stats is not None else {}
 
     def __repr__(self):
         return f"SolveInfo({self.method}: iterations={self.iterations}, converged={self.converged}, diverged={self.diverged})"
@@ -129,11 +142,18 @@ _SOLVE_TAPES: list = []
 
 
 class SolveTape:
-    """Records diagnostics of solves within its context (phiml API parity)."""
+    """Records diagnostics of solves within its context (phiml API parity).
 
-    def __init__(self, *solves: Solve, record_trajectories=False):
+    record_runtime=True additionally delivers concrete per-execution iteration
+    counts / residuals into `SolveInfo.runtime_stats` via a host callback —
+    works under jit on CPU, but NOT on runtimes without host-callback support
+    (the tunneled axon TPU); prefer `Solve(implicit_diff=False)` there, which
+    makes `SolveInfo.iterations` a returnable main-trace value."""
+
+    def __init__(self, *solves: Solve, record_trajectories=False, record_runtime=False):
         self.solves = solves
         self.record_trajectories = record_trajectories
+        self.record_runtime = record_runtime
         self.solve_infos: list = []
 
     def __enter__(self):
@@ -523,18 +543,33 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
         it_box['iterations'] = it
         it_box['residual'] = res
         it_box['converged'] = conv
+        if any(t.record_runtime for t in _SOLVE_TAPES) and 'runtime_stats' not in it_box:
+            # Deliver concrete per-execution diagnostics to SolveTape even under
+            # jit: a host callback fills this dict when the computation runs.
+            stats = it_box['runtime_stats'] = {}
+
+            def _deliver(i, r, c):
+                stats['iterations'] = int(np.asarray(i))
+                stats['residual_norm'] = float(np.max(np.asarray(r)))
+                stats['converged'] = bool(np.asarray(c))
+            jax.debug.callback(_deliver, it, res, conv)
         return x_list
 
-    # custom_linear_solve gives us implicit differentiation (adjoint solve on the
-    # transpose system) without differentiating through the iteration loop.
-    sym = krylov is _cg or krylov is None  # CG/direct used only for symmetric systems here
-    try:
-        x_out = jax.lax.custom_linear_solve(A, rhs, lambda mv, b: run_solve(mv, b),
-                                            transpose_solve=lambda mv, b: run_solve(mv, b),
-                                            symmetric=sym)
-    except TypeError:
-        x_out = jax.lax.custom_linear_solve(A, rhs, lambda mv, b: run_solve(mv, b),
-                                            transpose_solve=lambda mv, b: run_solve(mv, b))
+    if not solve.implicit_diff:
+        # direct Krylov run (forward-only): diagnostics in it_box are
+        # main-trace values
+        x_out = run_solve(A, rhs)
+    else:
+        # custom_linear_solve gives us implicit differentiation (adjoint solve on
+        # the transpose system) without differentiating through the iteration loop.
+        sym = krylov is _cg or krylov is None  # CG/direct used only for symmetric systems here
+        try:
+            x_out = jax.lax.custom_linear_solve(A, rhs, lambda mv, b: run_solve(mv, b),
+                                                transpose_solve=lambda mv, b: run_solve(mv, b),
+                                                symmetric=sym)
+        except TypeError:
+            x_out = jax.lax.custom_linear_solve(A, rhs, lambda mv, b: run_solve(mv, b),
+                                                transpose_solve=lambda mv, b: run_solve(mv, b))
     x = fmt.from_list(x_out)
     # --- diagnostics & convergence checks ---
     # custom_linear_solve traces its solve closure, so iteration diagnostics from
@@ -553,7 +588,8 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
         # which drifts from the true residual in float32
         conv_val = bool(np.all(res <= np.maximum(tol, 1e-12) * 10)) and not div_val
         info = SolveInfo(solve, x, res, -1, -1, conv_val, div_val, solve.method,
-                         msg=f"max residual {res.max():.3e} vs tolerance {np.max(tol):.3e}")
+                         msg=f"max residual {res.max():.3e} vs tolerance {np.max(tol):.3e}",
+                         runtime_stats=it_box.get('runtime_stats'))
         _record(info)
         if div_val and Diverged not in solve.suppress and ConvergenceException not in solve.suppress:
             raise Diverged(info)
@@ -566,7 +602,8 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
         # return from the jitted function or inspect via jax.debug.callback).
         _record(SolveInfo(solve, x, it_box.get('residual'),
                           it_box.get('iterations', -1), it_box.get('iterations', -1),
-                          it_box.get('converged', True), False, solve.method, msg="traced"))
+                          it_box.get('converged', True), False, solve.method, msg="traced",
+                          runtime_stats=it_box.get('runtime_stats')))
     return x
 
 

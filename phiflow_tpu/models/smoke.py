@@ -67,13 +67,24 @@ class SmokePlume:
     def initial_state(self) -> Tuple[Field, Field, Field]:
         return self.velocity0, self.smoke0, self.pressure0
 
-    def step(self, velocity: Field, smoke: Field, pressure: Optional[Field]):
-        dt = self.dt
-        smoke = advect.mac_cormack(smoke, velocity, dt, max_cells=self.max_cells) + \
+    def advect_smoke(self, velocity: Field, smoke: Field) -> Field:
+        """Phase 1: MacCormack smoke advection + soft inflow."""
+        return advect.mac_cormack(smoke, velocity, self.dt, max_cells=self.max_cells) + \
             self.inflow_rate * self._inflow_mask_values(smoke)
+
+    def advect_velocity(self, velocity: Field, smoke: Field) -> Field:
+        """Phase 2: buoyancy + semi-Lagrangian self-advection."""
         buoyancy = resample(smoke * self.buoyancy_dir, to=velocity)
-        velocity = advect.semi_lagrangian(velocity, velocity, dt, max_cells=self.max_cells) + buoyancy * dt
-        velocity, pressure = fluid.make_incompressible(
+        return advect.semi_lagrangian(velocity, velocity, self.dt, max_cells=self.max_cells) + buoyancy * self.dt
+
+    def project(self, velocity: Field, pressure: Optional[Field]):
+        """Phase 3: pressure projection (MG-preconditioned CG)."""
+        return fluid.make_incompressible(
             velocity, (), Solve('CG', self.cg_tol, 0., x0=pressure, max_iterations=self.max_iterations,
                                 suppress=(ConvergenceException,)))
+
+    def step(self, velocity: Field, smoke: Field, pressure: Optional[Field]):
+        smoke = self.advect_smoke(velocity, smoke)
+        velocity = self.advect_velocity(velocity, smoke)
+        velocity, pressure = self.project(velocity, pressure)
         return velocity, smoke, pressure

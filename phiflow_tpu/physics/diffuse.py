@@ -89,14 +89,19 @@ def differential(u: Field, diffusivity, gradient: Field = None, order: int = 2,
 
 
 def fourier(u: Field, diffusivity, dt) -> Field:
-    """Exact spectral diffusion for periodic grids: û·exp(−k²·ν·dt)
-    (reference: diffuse.py:147)."""
+    """Exact spectral diffusion for periodic grids: û·exp(−(2πk)²·ν·dt)
+    (reference: diffuse.py:147).
+
+    TPU-safe evaluation: the decay factor is separable across axes
+    (exp(−Σ_d k_d²·a) = Π_d exp(−k_d²·a)), so it is applied as per-axis
+    circulant matmuls precomputed on host — no device FFT. Requires a concrete
+    (non-traced) `diffusivity·dt`."""
     assert u.is_grid and u.is_centered, "fourier diffusion requires a centered grid"
-    amount = diffusivity * dt
     import numpy as np
-    k = ops.fftfreq(u.resolution) / u.dx
-    k2 = ops.vec_squared(k)
-    fft_u = ops.fft(u.values)
-    diffuse_factor = ops.exp(-(4 * np.pi ** 2) * k2 * amount)
-    result = ops.real(ops.ifft(fft_u * ops.cast(diffuse_factor, fft_u.dtype)))
-    return u.with_values(result)
+    import jax
+    from ..math._nd import _spectral_separable, _k_grids
+    amount = diffusivity * dt
+    amount = float(amount.native() if hasattr(amount, 'native') else amount)
+    ks = _k_grids(u.values, u.dx.native(u.dx.shape.names))
+    spectra = {d: np.exp(-(4 * np.pi ** 2) * k ** 2 * amount) for d, k in ks.items()}
+    return u.with_values(_spectral_separable(u.values, spectra, 'mul'))

@@ -115,3 +115,85 @@ def test_incompressible_rk4_taylor_green_accuracy():
     # Ratio > 10 rules out 1st/2nd-order stage regressions (e.g. k2 reused for k4,
     # or wrong stage-pressure scaling), which give ratios ≤ 8.
     assert e_coarse / e_fine > 10, (e_coarse, e_fine)
+
+
+# ---------------------------------------------------------------------------
+# Non-periodic higher-order accuracy (reference strategy:
+# tests/commit/physics/test_higher_order.py — pipe/Poiseuille validation in
+# float64 with BC-aware one-sided stencils)
+# ---------------------------------------------------------------------------
+
+def _dirichlet_sine_laplace_error(n, order):
+    bounds = Box(x=1., y=1.)
+    g = CenteredGrid(lambda pos: math.sin(np.pi * pos.vector['x']) * math.sin(np.pi * pos.vector['y']),
+                     extrapolation.ZERO, x=n, y=n, bounds=bounds)
+    lap = laplace(g, order=order)
+    expected = -2 * np.pi ** 2 * g.values
+    return float(math.max(abs(lap.values - expected)))
+
+
+@pytest.mark.parametrize('order', [4, 6])
+def test_laplace_nonperiodic_convergence_f64(order):
+    """One-sided boundary stencils must keep the nominal order with Dirichlet
+    walls (engine: field/_stencil1d.py; reference analog validates order-6
+    against Poiseuille at 1e-10 in float64)."""
+    with math.precision(64):
+        e_coarse = _dirichlet_sine_laplace_error(24, order)
+        e_fine = _dirichlet_sine_laplace_error(48, order)
+    rate = np.log2(e_coarse / e_fine)
+    assert rate > order - 0.7, (e_coarse, e_fine, rate)
+
+
+def test_laplace_zero_gradient_f64():
+    """Neumann walls: u = cos(πx) has u'(0)=u'(1)=0; order-6 compact with
+    one-sided rows should hit ~1e-9 at n=48 in float64."""
+    with math.precision(64):
+        bounds = Box(x=1., y=1.)
+        n = 48
+        g = CenteredGrid(lambda pos: math.cos(np.pi * pos.vector['x']),
+                         extrapolation.ZERO_GRADIENT, x=n, y=n, bounds=bounds)
+        lap = laplace(g, order=6)
+        err = float(math.max(abs(lap.values + np.pi ** 2 * g.values)))
+    assert err < 1e-8, err
+
+
+def test_poiseuille_steady_state_f64():
+    """Channel flow u_x(y): ν·u'' + G·sin(πy) = 0 with no-slip walls has the
+    steady profile u = G/(ν·π²)·sin(πy). March implicit diffusion + forcing to
+    steady state with order-6 stencils and compare (float64, engine path)."""
+    from phiflow_tpu.physics import diffuse
+    with math.precision(64):
+        n = 48
+        nu, G = 0.1, 1.0
+        bounds = Box(y=1.)
+        u = CenteredGrid(0., extrapolation.ZERO, y=n, bounds=bounds)
+        force = CenteredGrid(lambda pos: G * math.sin(np.pi * pos.vector['y']),
+                             extrapolation.ZERO, y=n, bounds=bounds)
+        dt = 2.0
+        for _ in range(25):  # transient decays as e^{−ν·π²·t}: fully converged
+            u = u + dt * force
+            # compact order-6 operator is nonsymmetric (one-sided boundary rows)
+            # → BiCGStab, as the reference uses biCG-stab(2) for this config
+            u = diffuse.implicit(u, nu, dt, order=6,
+                                 solve=Solve('biCG-stab', 1e-10, 1e-10, max_iterations=500))
+        analytic = G / (nu * np.pi ** 2) * math.sin(
+            np.pi * (math.wrap(np.arange(n) + 0.5, u.values.shape['y']) / n))
+        err = float(math.max(abs(u.values - analytic)))
+        assert err < 2e-4 * G / (nu * np.pi ** 2), err
+
+
+def test_face_gradient_order4_dirichlet():
+    """Order-4 center→face gradient with Dirichlet boundaries (staggered
+    one-sided rows)."""
+    with math.precision(64):
+        n = 64
+        bounds = Box(x=1., y=1.)
+        g = CenteredGrid(lambda pos: math.sin(np.pi * pos.vector['x']),
+                         extrapolation.ZERO, x=n, y=n, bounds=bounds)
+        grad = spatial_gradient(g, extrapolation.ZERO, at='face', order=4)
+        comp = grad.vector['x']
+        xf = np.arange(1, n) / n  # interior faces (ZERO boundary drops outer faces)
+        expected = np.pi * np.cos(np.pi * xf)
+        vals = np.asarray(comp.values.native(('x', 'y')))[:, 0]
+        err = np.max(np.abs(vals - expected))
+    assert err < 1e-5, err
