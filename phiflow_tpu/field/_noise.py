@@ -58,7 +58,8 @@ class Noise(FieldInitializer):
         amp_full = full * amplitude.reshape([shape.dims[i].size if i in spatial_axes else 1
                                              for i in range(len(shape.dims))])
         filtered = rnd * amp_full
-        result = np.real(np.fft.ifftn(filtered, axes=spatial_axes)).astype(np.float32)
+        from ..math._tensor import default_float
+        result = np.real(np.fft.ifftn(filtered, axes=spatial_axes)).astype(np.dtype(default_float()))
         std = result.std(axis=tuple(spatial_axes), keepdims=True)
         std[std == 0] = 1
         result = result / std * self.scale

@@ -54,7 +54,7 @@ except ImportError:
 # --- vis ---
 try:
     from . import vis
-    from .vis import plot, show, close as close_figures, control, action, write_image, load_scalars, overlay
+    from .vis import plot, show, show_hist, close as close_figures, control, action, write_image, load_scalars, overlay
 except ImportError:
     pass
 

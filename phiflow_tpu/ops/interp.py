@@ -113,28 +113,35 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
     slab_full = jnp.zeros((padded.shape[0], Ys, Zs), padded.dtype)
     slab_full = jax.lax.dynamic_update_slice(slab_full, zslab, (0, _Y_OFF - C, 0))
     n_out = 3 if compute_extrema else 1
-    # --- pick (YT, TILE) to fit the 16MB scoped-VMEM limit ---
+    # --- pick (TILE, YT) minimizing estimated on-chip traffic within VMEM ---
+    # Halo overhead multiplies every roll by ((T+2C)(YT+2·OFF))/(T·YT): tiny
+    # tiles waste most of the roll bandwidth on halos, so we search all legal
+    # (T, YT) pairs with a traffic model instead of greedily growing one axis.
     budget = (13 * 1024 * 1024) // 4  # f32 elems, with margin for Mosaic spills
     W = 2 * K + 2
-    YT = Y
-    TILE = 1
 
     def vmem_elems(tile, yt):
         slab_b = (tile + 2 * C) * (yt + 2 * _Y_OFF) * Zs   # run_scoped slab
         io_b = 2 * (3 + n_out) * tile * yt * Z             # aux+out blocks, double-buffered
-        carry_b = (n_out + 2 + W + (W if compute_extrema else 0)) * tile * yt * Z  # carries + partials + weight planes
-        roll_b = 2 * slab_b                                # pltpu.roll temporaries per body
+        carry_b = (n_out + 3) * tile * yt * Z              # acc/lo/up carries + x/y partials
+        roll_b = 3 * slab_b                                # slab value + z-roll + y-roll temporaries
         return slab_b + io_b + carry_b + roll_b
-    while YT > 8 and vmem_elems(1, YT) > budget:
-        nxt = YT // 2
-        while nxt > 8 and (Y % nxt or nxt % 8):
-            nxt -= 8
-        if nxt < 8 or Y % nxt:
-            break
-        YT = nxt
-    for t in range(1, X + 1):
-        if X % t == 0 and vmem_elems(t, YT) <= budget:
-            TILE = t
+
+    def traffic(tile, yt):
+        slab_b = (tile + 2 * C) * (yt + 2 * _Y_OFF) * Zs
+        blk = tile * yt * Z
+        per_tile = (W + W * W) * slab_b + (2 * W ** 3 + W * W + W) * blk
+        return (X // tile) * (Y // yt) * per_tile
+
+    TILE, YT = 1, 8
+    best_cost = None
+    for t in [t for t in range(1, X + 1) if X % t == 0]:
+        for yt in [yt for yt in range(8, Y + 1, 8) if Y % yt == 0]:
+            if vmem_elems(t, yt) > budget:
+                continue
+            c = traffic(t, yt)
+            if best_cost is None or c < best_cost:
+                best_cost, TILE, YT = c, t, yt
     grid = (X // TILE, Y // YT)
     big = np.float32(3.4e38)
 
@@ -146,50 +153,47 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
         acc0 = jnp.zeros((TILE, YT, Z), jnp.float32)
         lo0 = jnp.full((TILE, YT, Z), big, jnp.float32)
         up0 = jnp.full((TILE, YT, Z), -big, jnp.float32)
+        slab_v = slab[:]  # full (TILE+2C, YT+2·OFF, Zs) tile incl. halos
 
-        # Hierarchical accumulation out = Σ_sx wx · Σ_sz wz · Σ_sy wy · window,
-        # with the 6 y-weight planes (216 uses each) PRECOMPUTED once — the
-        # inner body reduces to roll + fma, which is the VPU roofline for this
-        # op. The inner y loop is Python-unrolled (static plane indexing); x and
-        # z stay fori_loops so Mosaic reuses the roll buffers across iterations.
-        wys = []
-        yms = []
-        for iy in range(W):
-            ay = jnp.abs(dy_ - (iy - K))
-            wys.append(jnp.maximum(0., 1. - ay))
-            if compute_extrema:
-                yms.append(ay < 1.)
-
-        def x_body(ix, carry):
+        # Loop nesting puts the expensive vector ROLLS on the outer axes and the
+        # cheap leading-axis slices innermost: z-rolls run W times, y-rolls W²
+        # times, and the W³ x-windows are dynamic slices of the leading
+        # (untiled) axis — register-addressed, no lane movement. Total shifted
+        # traffic is W+W² slab rolls instead of the naive W³+W² (6× less at
+        # K=2), with weights computed inline (each (sy,sz) pair occurs once).
+        # out = Σ_sz wz · Σ_sy wy · Σ_sx wx · window   (hierarchical FMA)
+        def z_body(iz, carry):
             acc, lo_acc, up_acc = carry
-            sx = ix - K
-            x_slab = slab[pl.ds(C + sx, TILE), :, :]  # ref load with dynamic start (leading axis)
-            ax = jnp.abs(dx_ - sx)
-            wx = jnp.maximum(0., 1. - ax)
-            axm = ax < 1.
+            sz = iz - K
+            zs = _roll(slab_v, -sz, 2)
+            az = jnp.abs(dz_ - sz)
+            wz = jnp.maximum(0., 1. - az)
+            zm = az < 1.
 
-            def z_body(iz, carry_z):
-                accz, lo_z, up_z = carry_z
-                sz = iz - K
-                xz = _roll(x_slab, -sz, 2)
-                az = jnp.abs(dz_ - sz)
-                wz = jnp.maximum(0., 1. - az)
-                xzm = axm & (az < 1.)
-                y_acc = jnp.zeros((TILE, YT, Z), jnp.float32)
-                for iy in range(W):
-                    window = _roll(xz, -(iy - K), 1)[:, _Y_OFF:_Y_OFF + YT, :Z]
-                    y_acc = y_acc + window * wys[iy]
+            # y loop python-unrolled: STATIC sublane-axis rolls (dynamic-shift
+            # sublane rotates lower poorly in Mosaic); x windows are static
+            # leading-axis slices (register-addressed, no data movement)
+            y_acc = jnp.zeros((TILE, YT, Z), jnp.float32)
+            for iy in range(W):
+                sy = iy - K
+                yz = _roll(zs, -sy, 1)[:, _Y_OFF:_Y_OFF + YT, :Z]  # (TILE+2C, YT, Z)
+                ay = jnp.abs(dy_ - sy)
+                wy = jnp.maximum(0., 1. - ay)
+                yzm = zm & (ay < 1.)
+                x_acc = jnp.zeros((TILE, YT, Z), jnp.float32)
+                for ix in range(W):
+                    sx = ix - K
+                    window = yz[C + sx:C + sx + TILE]
+                    ax = jnp.abs(dx_ - sx)
+                    x_acc = x_acc + window * jnp.maximum(0., 1. - ax)
                     if compute_extrema:
-                        cm = xzm & yms[iy]
-                        lo_z = jnp.minimum(lo_z, jnp.where(cm, window, big))
-                        up_z = jnp.maximum(up_z, jnp.where(cm, window, -big))
-                return accz + y_acc * wz, lo_z, up_z
+                        cm = yzm & (ax < 1.)
+                        lo_acc = jnp.minimum(lo_acc, jnp.where(cm, window, big))
+                        up_acc = jnp.maximum(up_acc, jnp.where(cm, window, -big))
+                y_acc = y_acc + x_acc * wy
+            return acc + y_acc * wz, lo_acc, up_acc
 
-            z_acc, lo_acc, up_acc = jax.lax.fori_loop(
-                0, W, z_body, (jnp.zeros((TILE, YT, Z), jnp.float32), lo_acc, up_acc))
-            return acc + z_acc * wx, lo_acc, up_acc
-
-        acc, lo_acc, up_acc = jax.lax.fori_loop(0, W, x_body, (acc0, lo0, up0))
+        acc, lo_acc, up_acc = jax.lax.fori_loop(0, W, z_body, (acc0, lo0, up0))
         out_refs[0][:] = acc
         if compute_extrema:
             out_refs[1][:] = lo_acc

@@ -1,0 +1,317 @@
+"""Explicit shard_map solvers: domain-decomposed pressure projection with
+ppermute halo exchange and psum'd CG reductions.
+
+This is the manual-scheduling path promised by the package docstring — the
+TPU-native layer with no reference counterpart (SURVEY.md §2.7). Unlike the
+GSPMD default (which cannot shard staggered components along their own axis:
+interior-face sizes N±1 are not divisible by the mesh), this path converts the
+staggered velocity to a **uniform lower-face representation** — component d
+stores face i = lower face of cell i, size N along every axis, the wall face
+held at the boundary constant — which is exact for periodic and constant
+(no-slip/inflow) normal boundaries and shards along ALL spatial dims.
+
+Entry point: `make_sharded_projection(mesh, axes, template, ...)` returns a
+jitted function `velocity_field -> (projected_field, pressure_field)` whose
+body runs entirely inside one `jax.shard_map`: local divergence, CG on the
+Neumann/periodic Poisson system (halo width 1 per iteration, dot products via
+psum over the spatial mesh axes), and the face pressure-gradient update.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ._halo import AxisSpec, halo_exchange
+
+__all__ = ['uniform_staggered', 'staggered_from_uniform', 'make_sharded_projection']
+
+
+def _classify_velocity_axis(field, dim: str):
+    """(mode_lo, mode_hi): 'periodic' or ('value', c) for the normal velocity
+    boundary along `dim` — the cases the uniform lower-face layout represents
+    exactly."""
+    from ..field._stencil1d import classify_side
+    out = []
+    for upper in (False, True):
+        side = classify_side(field.boundary, dim, upper)
+        if side == 'periodic':
+            out.append('periodic')
+        elif isinstance(side, tuple) and side[0] == 'dirichlet':
+            out.append(('value', side[1]))
+        else:
+            raise ValueError(
+                f"sharded projection requires periodic or constant velocity boundaries, "
+                f"got {field.boundary} along {dim} (upper={upper})")
+    return tuple(out)
+
+
+def uniform_staggered(field, template=None) -> Dict[str, jnp.ndarray]:
+    """Staggered Field → dict of uniform (N per axis) lower-face arrays.
+    `template` supplies concrete boundary metadata when `field` is traced."""
+    meta = template if template is not None else field
+    dims = field.resolution.names
+    out = {}
+    for d in dims:
+        comp = field.vector[d].values
+        arr = comp.native(dims)
+        bc_lo, _ = _classify_velocity_axis(meta, d)
+        ax = dims.index(d)
+        if bc_lo == 'periodic':
+            out[d] = arr  # already faces 0..N−1 (face N ≡ face 0)
+        else:
+            # interior faces 1..N−1 stored; prepend the wall plane (face 0 = c)
+            pad = [(0, 0)] * arr.ndim
+            pad[ax] = (1, 0)
+            out[d] = jnp.pad(arr, pad, constant_values=np.float32(bc_lo[1]))
+    return out
+
+
+def staggered_from_uniform(arrays: Dict[str, jnp.ndarray], template):
+    """Inverse of `uniform_staggered`: slice the logical faces back into the
+    template Field's layout."""
+    from ..math import Tensor, stack, dual, spatial
+    dims = template.resolution.names
+    comps = []
+    for d in dims:
+        arr = arrays[d]
+        bc_lo, _ = _classify_velocity_axis(template, d)
+        ax = dims.index(d)
+        if bc_lo != 'periodic':
+            idx = [slice(None)] * arr.ndim
+            idx[ax] = slice(1, None)
+            arr = arr[tuple(idx)]
+        sizes = dict(zip(dims, arr.shape))
+        comps.append(Tensor(arr, spatial(**sizes)))
+    values = stack(comps, dual(vector=list(dims)))
+    return template.with_values(values)
+
+
+def _mean_psum(x, spatial_axis_names, global_count):
+    total = lax.psum(jnp.sum(x), spatial_axis_names) if spatial_axis_names else jnp.sum(x)
+    return total / global_count
+
+
+def make_sharded_projection(mesh: Mesh, axes: Dict[str, str], template,
+                            rel_tol: float = 1e-5, abs_tol: float = 1e-5,
+                            max_iterations: int = 1000):
+    """Build a jitted sharded pressure projection for staggered fields like
+    `template` (periodic or constant normal boundaries, no batch dims).
+
+    mesh: device mesh; axes: spatial dim name → mesh axis name (dims absent
+    from `axes` stay replicated). Returns `project(field) -> (field, pressure)`.
+    """
+    dims = tuple(template.resolution.names)
+    ndim = len(dims)
+    assert not template.values.shape.batch, "batch dims not supported on the explicit path yet"
+    res = tuple(int(template.resolution.get_size(d)) for d in dims)
+    dx = tuple(float(v) for v in np.asarray(template.dx.native(template.dx.shape.names)).reshape(-1))
+    inv_dx = tuple(1.0 / h for h in dx)
+    inv_dx2 = tuple(1.0 / h ** 2 for h in dx)
+    vel_bc = {d: _classify_velocity_axis(template, d) for d in dims}
+    # pressure BC per axis-side: periodic ↔ periodic; const velocity ↔ Neumann
+    p_bc = {d: tuple('periodic' if m == 'periodic' else 'neumann' for m in vel_bc[d]) for d in dims}
+    mesh_axis = {d: axes.get(d) for d in dims}
+    n_shards = {d: (mesh.shape[mesh_axis[d]] if mesh_axis[d] else 1) for d in dims}
+    spatial_axis_names = tuple(a for a in (mesh_axis[d] for d in dims) if a)
+    n_cells = float(np.prod(res))
+
+    def specs_for(bc_by_dim):
+        return [AxisSpec(i, mesh_axis[d] or f'_none_{d}', n_shards[d],
+                         bc_by_dim[d][0], bc_by_dim[d][1]) for i, d in enumerate(dims)]
+
+    p_specs = specs_for(p_bc)
+
+    def laplace_block(p):
+        ph = halo_exchange(p, p_specs, width=1)
+        lap = None
+        for i in range(ndim):
+            idx_lo = [slice(1, -1)] * ndim
+            idx_hi = [slice(1, -1)] * ndim
+            idx_ce = [slice(1, -1)] * ndim
+            idx_lo[i] = slice(0, -2)
+            idx_hi[i] = slice(2, None)
+            term = (ph[tuple(idx_lo)] + ph[tuple(idx_hi)] - 2 * ph[tuple(idx_ce)]) * np.float32(inv_dx2[i])
+            lap = term if lap is None else lap + term
+        return lap
+
+    def psum_dot(a, b):
+        d = jnp.sum(a * b)
+        return lax.psum(d, spatial_axis_names) if spatial_axis_names else d
+
+    # --- sharded geometric-multigrid preconditioner ---------------------------
+    # Local 2× restriction + halo-aware damped-Jacobi smoothing per level; once
+    # the per-shard block is small, all_gather the coarse problem (replicated)
+    # and finish with the unsharded V-cycle (host-precomputed coarse inverse).
+    block0 = tuple(res[i] // n_shards[dims[i]] for i in range(ndim))
+    mg_levels = []  # (inv_dx2_level,) for distributed levels
+    blk = block0
+    lvl_dx = list(dx)
+    while all(b % 2 == 0 and b >= 8 for b in blk) and max(res[i] // (2 ** len(mg_levels)) for i in range(ndim)) > 32:
+        mg_levels.append(tuple(1.0 / h ** 2 for h in lvl_dx))
+        blk = tuple(b // 2 for b in blk)
+        lvl_dx = [2 * h for h in lvl_dx]
+    coarse_res = tuple(res[i] // (2 ** len(mg_levels)) for i in range(ndim))
+    coarse_bcs = tuple(('periodic', 'periodic') if p_bc[d][0] == 'periodic' else ('neumann', 'neumann')
+                       for d in dims)
+    from ..math._multigrid import make_poisson_vcycle
+    coarse_vcycle = make_poisson_vcycle(coarse_res, tuple(lvl_dx), coarse_bcs)
+
+    def _restrict_local(r):
+        for ax in range(ndim):
+            shp = r.shape[:ax] + (r.shape[ax] // 2, 2) + r.shape[ax + 1:]
+            r = r.reshape(shp).mean(axis=ax + 1)
+        return r
+
+    def _prolong_local(e):
+        for ax in range(ndim):
+            e = jnp.repeat(e, 2, axis=ax)
+        return e
+
+    def _lap_level(p, inv2):
+        ph = halo_exchange(p, p_specs, width=1)
+        lap = None
+        for i in range(ndim):
+            idx_lo = [slice(1, -1)] * ndim
+            idx_hi = [slice(1, -1)] * ndim
+            idx_ce = [slice(1, -1)] * ndim
+            idx_lo[i] = slice(0, -2)
+            idx_hi[i] = slice(2, None)
+            term = (ph[tuple(idx_lo)] + ph[tuple(idx_hi)] - 2 * ph[tuple(idx_ce)]) * inv2[i]
+            lap = term if lap is None else lap + term
+        return lap
+
+    def _smooth(u, b, inv2, sweeps, omega=0.8, skip_first=False):
+        w = omega / (-2.0 * sum(inv2))
+        if skip_first:
+            u = w * b
+            sweeps -= 1
+        for _ in range(sweeps):
+            u = u + w * (b - _lap_level(u, inv2))
+        return u
+
+    def _gather_global(x):
+        for i, d in enumerate(dims):
+            if mesh_axis[d]:
+                x = lax.all_gather(x, mesh_axis[d], axis=i, tiled=True)
+        return x
+
+    def _slice_own(x_global, block_shape):
+        starts = []
+        for i, d in enumerate(dims):
+            if mesh_axis[d]:
+                starts.append(lax.axis_index(mesh_axis[d]) * block_shape[i])
+            else:
+                starts.append(0)
+        return lax.dynamic_slice(x_global, tuple(starts), block_shape)
+
+    def vcycle(b, level=0):
+        if level == len(mg_levels):
+            b_global = _gather_global(b)
+            z_global = coarse_vcycle(b_global[None])[0]
+            return _slice_own(z_global, b.shape)
+        inv2 = mg_levels[level]
+        u = _smooth(jnp.zeros_like(b), b, inv2, 2, skip_first=True)
+        r = b - _lap_level(u, inv2)
+        e = _prolong_local(vcycle(_restrict_local(r), level + 1))
+        u = u + e
+        return _smooth(u, b, inv2, 2)
+
+    use_mg = len(mg_levels) > 0 or coarse_res != tuple(res)
+
+    def cg(b):
+        b = b - _mean_psum(b, spatial_axis_names, n_cells)  # project out the nullspace
+        b_norm_sq = psum_dot(b, b)
+        tol_sq = jnp.maximum(abs_tol, rel_tol * jnp.sqrt(b_norm_sq)) ** 2
+
+        def M(r):
+            if not use_mg:
+                return r
+            z = vcycle(r)
+            return z - _mean_psum(z, spatial_axis_names, n_cells)
+
+        x = jnp.zeros_like(b)
+        r = b
+        z = M(r)
+        p = z
+        rz = psum_dot(r, z)
+
+        def cond(state):
+            x, r, z, p, rz, it = state
+            return jnp.logical_and(it < max_iterations, psum_dot(r, r) > tol_sq)
+
+        def body(state):
+            x, r, z, p, rz, it = state
+            Ap = laplace_block(p)
+            alpha = rz / psum_dot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = psum_dot(r, z)
+            p = z + (rz_new / rz) * p
+            return x, r, z, p, rz_new, it + 1
+
+        x, r, z, p, rz, it = lax.while_loop(cond, body, (x, r, z, p, rz, jnp.asarray(0, jnp.int32)))
+        x = x - _mean_psum(x, spatial_axis_names, n_cells)
+        return x, it
+
+    def project_blocks(*u_blocks):
+        """Runs inside shard_map: uniform face blocks → (projected blocks, p, iters)."""
+        # --- divergence: needs the UPPER face of each cell: right halo of U_d ---
+        div = None
+        for i, d in enumerate(dims):
+            u = u_blocks[i]
+            bc_lo, bc_hi = vel_bc[d]
+            spec = AxisSpec(i, mesh_axis[d] or f'_none_{d}', n_shards[d],
+                            'periodic' if bc_lo == 'periodic' else ('value', 0.0),
+                            'periodic' if bc_hi == 'periodic' else bc_hi)
+            uh = halo_exchange(u, [spec], width=1)
+            idx_lo = [slice(1, -1) if j == i else slice(None) for j in range(ndim)]
+            idx_hi = [slice(2, None) if j == i else slice(None) for j in range(ndim)]
+            term = (uh[tuple(idx_hi)] - uh[tuple(idx_lo)]) * np.float32(inv_dx[i])
+            div = term if div is None else div + term
+        p, iters = cg(div)
+        # --- pressure gradient at faces: face i needs p[i] − p[i−1]: left halo ---
+        ph = halo_exchange(p, p_specs, width=1)
+        out = []
+        for i, d in enumerate(dims):
+            idx_ce = [slice(1, -1) for _ in range(ndim)]
+            idx_lo = [slice(1, -1) for _ in range(ndim)]
+            idx_lo[i] = slice(0, -2)
+            grad = (ph[tuple(idx_ce)] - ph[tuple(idx_lo)]) * np.float32(inv_dx[i])
+            u_new = u_blocks[i] - grad
+            # wall faces stay at the boundary constant (Neumann ghost makes
+            # grad 0 there already for interior walls of the global domain)
+            out.append(u_new)
+        return tuple(out) + (p, iters)
+
+    in_spec = PartitionSpec(*[mesh_axis[d] for d in dims])
+    specs_in = tuple(in_spec for _ in dims)
+    specs_out = specs_in + (in_spec, PartitionSpec())
+    sharded = jax.shard_map(project_blocks, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
+                            check_vma=False)
+
+    def project(field):
+        arrays = uniform_staggered(field, template=template)
+        results = sharded(*[arrays[d] for d in dims])
+        new_arrays = {d: results[i] for i, d in enumerate(dims)}
+        p_global, iters = results[ndim], results[ndim + 1]
+        v_out = staggered_from_uniform(new_arrays, template)  # template: concrete boundary metadata
+        from ..math import Tensor, spatial
+        from ..field import Field
+        from .. import math as _math
+        p_field = Field(field.geometry, Tensor(p_global, spatial(**dict(zip(dims, res)))),
+                        _pressure_ext(template))
+        return v_out, p_field
+
+    return jax.jit(project)
+
+
+def _pressure_ext(template):
+    from ..physics.fluid import _pressure_extrapolation
+    return _pressure_extrapolation(template.boundary)

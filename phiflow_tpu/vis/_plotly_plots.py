@@ -119,12 +119,68 @@ class PointCloud2DP(_PlotlyRecipe):
                          row=subplot[0] + 1, col=subplot[1] + 1)
 
 
+class PointCloud3DP(_PlotlyRecipe):
+    """reference: _plotly_plots.py Scatter3D:508"""
+
+    def can_plot(self, data, space) -> bool:
+        return isinstance(data, Field) and data.is_point_cloud and data.spatial_rank == 3
+
+    def plot(self, data: Field, figure, subplot, space, **kwargs):
+        pts = data.points
+        labels = data.geometry.shape.get_labels('vector')
+        xyz = [np.asarray(pts[{'vector': l}].numpy()).ravel() for l in labels]
+        figure.add_trace(go.Scatter3d(x=xyz[0], y=xyz[1], z=xyz[2], mode='markers',
+                                      marker=dict(size=2)), row=subplot[0] + 1, col=subplot[1] + 1)
+
+
+class SurfaceMesh3DP(_PlotlyRecipe):
+    """Triangle-surface plot of 3D meshes / mesh fields
+    (reference: _plotly_plots.py SurfaceMesh3D:586)."""
+
+    def can_plot(self, data, space) -> bool:
+        from ..geom._mesh import Mesh
+        if isinstance(data, Field) and data.is_mesh and data.spatial_rank == 3:
+            return True
+        return isinstance(data, Mesh) and data.spatial_rank == 3 and data.element_rank == 2
+
+    def plot(self, data, figure, subplot, space, **kwargs):
+        from ..geom._mesh import Mesh
+        mesh = data.geometry if isinstance(data, Field) else data
+        verts = np.asarray(mesh.vertices.center.native(('vertices', 'vector')))
+        elems = np.asarray(mesh.elements).reshape(-1, 3)
+        intensity = None
+        if isinstance(data, Field):
+            intensity = np.asarray(data.values.native()).ravel()
+        figure.add_trace(go.Mesh3d(x=verts[:, 0], y=verts[:, 1], z=verts[:, 2],
+                                   i=elems[:, 0], j=elems[:, 1], k=elems[:, 2],
+                                   intensity=intensity, opacity=0.8),
+                         row=subplot[0] + 1, col=subplot[1] + 1)
+
+
+class SDF3DP(_PlotlyRecipe):
+    """Isosurface of an SDF grid (reference: _plotly_plots.py SDF3D:682)."""
+
+    def can_plot(self, data, space) -> bool:
+        from ..geom._sdf_grid import SDFGrid
+        return isinstance(data, SDFGrid) and data.spatial_rank == 3
+
+    def plot(self, data, figure, subplot, space, **kwargs):
+        vals = np.asarray(data.values.native(data.values.shape.names))
+        dims = data.values.shape.names
+        grids = np.meshgrid(*[np.arange(s) for s in vals.shape], indexing='ij')
+        figure.add_trace(go.Isosurface(
+            x=grids[0].ravel(), y=grids[1].ravel(), z=grids[2].ravel(),
+            value=vals.ravel(), isomin=0.0, isomax=0.0, surface_count=1),
+            row=subplot[0] + 1, col=subplot[1] + 1)
+
+
 class PlotlyPlots(PlottingLibrary):
     """reference: _plotly_plots.py PlotlyPlots:34"""
 
     def __init__(self):
         super().__init__('plotly', [
             Heatmap2DP(), VectorField2DP(), Heatmap3DP(), PointCloud2DP(), LinePlotP(),
+            PointCloud3DP(), SurfaceMesh3DP(), SDF3DP(),
         ])
 
     def create_figure(self, size, rows, cols, subplots=None, titles=None, log_dims=()):

@@ -12,7 +12,8 @@ from ..geom import Geometry
 from ._vis_base import Control, Action, display_name
 from ._matplotlib_plots import MATPLOTLIB
 
-__all__ = ['plot', 'show', 'close', 'control', 'action', 'overlay', 'write_image', 'plot_scalars', 'smooth']
+__all__ = ['plot', 'show', 'show_hist', 'close', 'control', 'action', 'overlay', 'write_image',
+           'plot_scalars', 'smooth']
 
 _CONTROLS: list = []
 _ACTIONS: list = []
@@ -43,7 +44,11 @@ def plot(*fields, lib=None, row_dims=None, col_dims=None, animate=None, overlay=
     n = len(items)
     cols = min(n, 3)
     rows = (n + cols - 1) // cols
-    figure, axes = lib.create_figure(size, rows, cols)
+    projections = {(i // cols, i % cols): '3d' for i, (_, data) in enumerate(items)
+                   if _needs_3d_axis(data)}
+    figure, axes = lib.create_figure(size, rows, cols, subplots=projections or None)
+    if animate is not None:
+        return _animate(lib, figure, axes, items, cols, animate, **kwargs)
     for i, (name, data) in enumerate(items):
         axis = axes[(i // cols, i % cols)]
         lib.plot(data, figure, axis, None, **kwargs)
@@ -55,11 +60,57 @@ def plot(*fields, lib=None, row_dims=None, col_dims=None, animate=None, overlay=
     return figure
 
 
+def _needs_3d_axis(data) -> bool:
+    from ..geom._heightmap import Heightmap
+    if isinstance(data, Field):
+        return data.spatial_rank == 3
+    if isinstance(data, Heightmap):
+        return True
+    if isinstance(data, Geometry):
+        return data.spatial_rank == 3
+    return False
+
+
+def _animate(lib, figure, axes, items, cols, animate_dim: str, fps=10, **kwargs):
+    """Frame-by-frame animation over a batch dim (reference: phi/vis/_vis.py
+    animate= support; returns a matplotlib.animation.FuncAnimation)."""
+    import matplotlib.animation as animation
+    frames = None
+    for _, data in items:
+        shp = data.shape if hasattr(data, 'shape') else None
+        if shp is not None and animate_dim in getattr(shp, 'names', ()):
+            frames = shp.get_size(animate_dim)
+            break
+    assert frames is not None, f"no item has the animation dim {animate_dim!r}"
+    fig = figure[0] if isinstance(figure, tuple) else figure
+
+    def draw(frame):
+        for i, (name, data) in enumerate(items):
+            axis = axes[(i // cols, i % cols)]
+            axis.clear()
+            sliced = data[{animate_dim: frame}] if hasattr(data, '__getitem__') else data
+            lib.plot(sliced, figure, axis, None, **kwargs)
+            if name:
+                axis.set_title(display_name(name))
+        return []
+
+    anim = animation.FuncAnimation(fig, draw, frames=frames, interval=1000 / fps, blit=False)
+    return anim
+
+
 def show(*fields, **kwargs):
     """Plot and display (reference: phi/vis/_vis.py:24)."""
     if fields and not isinstance(fields[0], (Field, Tensor, Geometry, dict, tuple, list)):
         raise ValueError(f"show() cannot display {type(fields[0])}")
     figure = plot(*fields, **kwargs)
+    MATPLOTLIB.show(figure)
+    return figure
+
+
+def show_hist(data, bins=20, **kwargs):
+    """Plot and display a histogram of the given values
+    (reference: phi/vis/_vis.py:67)."""
+    figure = plot(data, plot_type='histogram', bins=bins, **kwargs)
     MATPLOTLIB.show(figure)
     return figure
 

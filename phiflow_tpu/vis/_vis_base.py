@@ -196,8 +196,14 @@ class PlottingLibrary:
     def save(self, figure, path, dpi=120, transparent=False):
         raise NotImplementedError(type(self))
 
-    def plot(self, data, figure, subplot, space, *args, **kwargs):
-        for recipe in self.recipes:
+    def plot(self, data, figure, subplot, space, *args, plot_type: str = None, **kwargs):
+        """Dispatch to the first matching recipe. `plot_type` (e.g. 'stream',
+        'histogram', 'bar') prefers recipes whose class name contains it."""
+        candidates = self.recipes
+        if plot_type:
+            preferred = [r for r in self.recipes if plot_type.lower() in type(r).__name__.lower()]
+            candidates = preferred + [r for r in self.recipes if r not in preferred]
+        for recipe in candidates:
             if recipe.can_plot(data, space):
                 recipe.plot(data, figure, subplot, space, *args, **kwargs)
                 return recipe
