@@ -53,7 +53,9 @@ def run_bench(resolution: int, dims: int = 3, steps: int = 20, warmup: int = 3, 
     model = SmokePlume(resolution=resolution, dims=dims, cg_tol=cg_tol, max_iterations=max_iterations)
     v, s, p = model.initial_state()
 
-    step = jax.jit(model.step)
+    # donate the state buffers: XLA reuses them for the outputs, halving the
+    # resident state footprint (critical at 512³ where velocity alone is 1.6GB)
+    step = jax.jit(model.step, donate_argnums=(0, 1, 2))
     t_compile = time.perf_counter()
     # warmup: ≥2 calls — the state pytree structure stabilizes after the first step
     for _ in range(max(warmup, 2)):
@@ -67,6 +69,7 @@ def run_bench(resolution: int, dims: int = 3, steps: int = 20, warmup: int = 3, 
         vv, ss, pp = step(vv, ss, pp)
     _hard_sync(ss)
     elapsed = time.perf_counter() - t0
+    v, s, p = vv, ss, pp  # donated inputs are invalid; keep only the live state
     per_step = elapsed / steps
     cells = resolution ** dims
     result = {
@@ -134,6 +137,14 @@ def run_kolmogorov(resolution: int = 512, steps: int = 10, warmup: int = 2, orde
 def main():
     jax = _setup_jax()
     results = {}
+    # Kolmogorov first: it is small; running it after a 512³ OOM inherits a
+    # fragmented heap
+    kolmogorov = None
+    try:
+        kolmogorov = run_kolmogorov(512)
+        sys.stderr.write(f"kolmogorov 512^2 order-6: {kolmogorov['per_step_ms']:.1f} ms/step\n")
+    except Exception as exc:
+        sys.stderr.write(f"kolmogorov bench failed: {type(exc).__name__}: {exc}\n")
     for res in (64, 128, 256, 512):
         try:
             # phases off at 512³: the extra per-phase buffers don't fit HBM
@@ -149,16 +160,13 @@ def main():
         except Exception as exc:  # OOM or compile failure at large sizes
             sys.stderr.write(f"bench {res}^3 failed: {type(exc).__name__}: {exc}\n")
             break
+        finally:
+            import gc
+            gc.collect()
     if not results:
         print(json.dumps({'metric': 'cells/sec/chip 3D smoke plume', 'value': 0.0,
                           'unit': 'cells/s', 'vs_baseline': None, 'error': 'all sizes failed'}))
         return
-    kolmogorov = None
-    try:
-        kolmogorov = run_kolmogorov(512)
-        sys.stderr.write(f"kolmogorov 512^2 order-6: {kolmogorov['per_step_ms']:.1f} ms/step\n")
-    except Exception as exc:
-        sys.stderr.write(f"kolmogorov bench failed: {type(exc).__name__}: {exc}\n")
     best_res = max(results)
     best = results[best_res]
     print(json.dumps({

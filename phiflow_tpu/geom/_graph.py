@@ -23,13 +23,17 @@ class Graph(Geometry):
     """Nodes (a Geometry collection) plus per-pair edge values."""
 
     def __init__(self, nodes: Geometry, edges: Tensor, boundary: Dict[str, Dict[str, slice]] = None,
-                 deltas: Tensor = None, distances: Tensor = None, bounding_distance=None):
+                 deltas: Tensor = None, distances: Tensor = None, bounding_distance=None,
+                 indices: Tensor = None):
         self._nodes = nodes
         self._edges = edges
         self._boundary = boundary or {}
         self._deltas = deltas
         self._distances = distances
         self._bounding_distance = wrap(bounding_distance) if bounding_distance is not None else None
+        # compact (cell-list) neighborhoods: per-node candidate ids along the
+        # dual dim; None for dense all-pairs graphs
+        self._indices = indices
 
     @property
     def nodes(self) -> Geometry:
@@ -38,6 +42,14 @@ class Graph(Geometry):
     @property
     def edges(self) -> Tensor:
         return self._edges
+
+    @property
+    def indices(self) -> Tensor:
+        return self._indices
+
+    @property
+    def is_compact(self) -> bool:
+        return self._indices is not None
 
     @property
     def deltas(self) -> Tensor:

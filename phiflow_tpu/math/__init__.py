@@ -31,7 +31,7 @@ from ._ops import (
     finite_mean, finite_sum, finite_max, finite_min, at_max, argmax, argmin, cumulative_sum, dot,
     close, always_close, assert_close, equal,
     gather, scatter, boolean_mask, nonzero,
-    pad, shift, grid_sample, closest_grid_values,
+    pad, shift, grid_sample, closest_grid_values, neighbor_mean, sample_subgrid,
     fft, ifft, fftfreq,
     vec, vec_length, vec_squared, vec_normalize, norm, length, squared_norm, normalize,
     cross, cross_product, dim_mask,

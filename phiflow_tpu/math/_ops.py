@@ -786,6 +786,43 @@ def shift(value: Tensor, offsets: tuple, dims: DimFilter = spatial, padding=None
     return offset_results
 
 
+def neighbor_mean(grid: Tensor, dims: DimFilter = spatial, padding=None) -> Tensor:
+    """Mean of adjacent values along `dims` (reference: phiml neighbor_mean,
+    used by the 3D curl path phi/field/_field_math.py:703-708). With
+    padding=None each averaged dim shrinks by 1 (values at midpoints)."""
+    grid = wrap(grid)
+    names = [n for n in _resolve_filter(dims, grid.shape) if n in grid.shape]
+    for n in names:
+        lo, up = shift(grid, (0, 1), n, padding, stack_dim=None)
+        grid = (lo + up) * 0.5
+    return grid
+
+
+def sample_subgrid(grid: Tensor, start: Tensor, size: Shape) -> Tensor:
+    """Linearly interpolated sub-grid of `grid`: window of `size` cells whose
+    origin sits at the (fractional) index offset `start` (reference: phiml
+    sample_subgrid; call site phi/field/_resample.py:363).
+
+    start: channel-'vector' tensor labeled by the sampled spatial dims (float,
+    index units). Out-of-range reads clamp to the border."""
+    grid = wrap(grid)
+    start = wrap(start)
+    labels = start.shape.get_labels('vector') or size.names
+    for dim in labels:
+        n_out = size.get_size(dim)
+        n_in = grid.shape.get_size(dim)
+        s = start[{'vector': dim}]
+        i0 = floor(s)
+        frac = s - i0
+        i0i = cast(i0, jnp.int32)
+        idx_lo = clip(wrap(np.arange(n_out), spatial(**{dim: n_out})) + i0i, 0, n_in - 1)
+        idx_hi = clip(idx_lo + 1, 0, n_in - 1)
+        lo = gather(grid, idx_lo, dims=dim)
+        hi = gather(grid, idx_hi, dims=dim)
+        grid = lo * (1 - frac) + hi * frac
+    return grid
+
+
 # ---------------------------------------------------------------------------
 # interpolation / sampling
 # ---------------------------------------------------------------------------
@@ -1017,14 +1054,40 @@ def pairwise_differences(positions: Tensor, max_distance=None, format='dense', m
                          default=None, domain=None, periodic=False, avg_neighbors=8.):
     """Neighbor search: pairwise position deltas within `max_distance`.
 
-    TPU-native design: dense (N×N) masked form for small N; cell-list binning
-    (sort by cell + fixed-capacity buckets) planned in phiflow_tpu.ops for large N.
+    TPU-native design: dense (N×N) masked form for small N; the cell-list
+    backend (sort-by-cell + fixed-capacity buckets, math._neighbors) activates
+    for method='cell-list', or automatically for large N when `domain` and
+    `max_distance` are given. The cell-list result is COMPACT: the dual dim is
+    '~neighbors' of static width 3^d·capacity (candidate neighborhoods), not
+    the full particle count — invalid entries hold `default` (NaN).
     Reference semantics: phiml `math.pairwise_differences` used by SPH
     (/root/reference/phi/physics/sph.py:58).
     """
     positions = wrap(positions)
     inst = positions.shape.instance
     assert inst.rank == 1
+    n_particles = inst.volume
+    use_cell_list = method == 'cell-list' or (
+        method == 'auto' and domain is not None and max_distance is not None
+        and n_particles is not None and n_particles > 4096)
+    if use_cell_list:
+        assert domain is not None and max_distance is not None, \
+            "cell-list search requires `domain` and `max_distance`"
+        from ._neighbors import cell_list_neighbors
+        from ._shape import Dim, DUAL, INSTANCE, CHANNEL
+        labels = positions.shape.get_labels('vector')
+        pos_n = positions.native((inst.names[0], 'vector'))
+        lo = np.asarray(domain[0].native() if isinstance(domain[0], Tensor) else domain[0]).reshape(-1)
+        up = np.asarray(domain[1].native() if isinstance(domain[1], Tensor) else domain[1]).reshape(-1)
+        idx, deltas_n, mask_n = cell_list_neighbors(pos_n, float(max_distance), lo, up,
+                                                    periodic=bool(periodic))
+        fill = jnp.nan if default is None else default
+        deltas_n = jnp.where(mask_n[..., None], deltas_n, fill)
+        M = idx.shape[1]
+        out_shape = Shape((Dim(inst.names[0], pos_n.shape[0], INSTANCE, None),
+                           Dim('~neighbors', M, DUAL, None),
+                           Dim('vector', len(labels), CHANNEL, tuple(labels))))
+        return Tensor(deltas_n, out_shape)
     dual_dim = Shape((inst.dims[0].as_type(DUAL),))
     others = rename_dims(positions, inst, dual_dim)
     deltas = others - positions  # (instance, dual, vector)

@@ -508,7 +508,19 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
     elif method in ('biCG', 'biCG-stab', 'biCG-stab(1)', 'biCG-stab(2)'):
         krylov = _bicgstab
     elif method in ('direct', 'scipy-direct'):
-        krylov = None
+        # the dense direct path materializes A column-by-column: O(N²) memory
+        # and N matvecs — only viable for small systems. Large systems reroute
+        # to BiCGStab with tightened tolerances (reference uses scipy splu,
+        # which has no TPU-resident equivalent).
+        n_unknowns = sum(int(np.prod(t.shape.sizes)) for t in _tensor_leaves(x0))
+        if n_unknowns > 4096:
+            warnings.warn(f"'{method}' with {n_unknowns} unknowns would materialize a dense "
+                          f"{n_unknowns}x{n_unknowns} matrix; using BiCGStab instead")
+            krylov = _bicgstab
+            solve = copy_solve(solve, rel_tol=min(solve.rel_tol or 1e-5, 1e-6),
+                              abs_tol=min(solve.abs_tol or 1e-5, 1e-6))
+        else:
+            krylov = None
     else:
         warnings.warn(f"unknown solve method {method!r}; falling back to CG")
         krylov = _cg

@@ -20,7 +20,8 @@ from ._shape import Shape, Dim, EMPTY_SHAPE, channel, instance, dual, concat_sha
 from ._tensor import Tensor, wrap
 from . import _ops as ops
 
-__all__ = ['SparseCooTensor', 'sparse_tensor', 'is_sparse', 'dense', 'to_format',
+__all__ = ['SparseCooTensor', 'SparseCompressedTensor', 'CompactSparseTensor',
+           'sparse_tensor', 'is_sparse', 'dense', 'to_format',
            'stored_indices', 'stored_values', 'matrix_from_function']
 
 
@@ -110,37 +111,248 @@ jax.tree_util.register_pytree_node(
     lambda shape, ch: SparseCooTensor(ch[0], ch[1], shape))
 
 
+class SparseCompressedTensor(Tensor):
+    """CSR/CSC sparse matrix over two named sparse dims (reference API:
+    phiml compressed formats, used by phi/geom/_mesh.py:36-52 face tables).
+
+    pointers: (n_compressed+1,) int array; indices: (nnz,) uncompressed-dim
+    coordinates; values: (nnz,). format 'csr' compresses the primal (row) dim,
+    'csc' the dual (column) dim. Matmul expands per-entry row ids with a
+    searchsorted (static shapes, TPU-safe) and contracts via gather+scatter-add.
+    """
+
+    def __init__(self, pointers, indices, values, dense_shape: Shape, format: str,
+                 compressed_dim: str, uncompressed_dim: str):
+        assert format in ('csr', 'csc')
+        self._pointers = jnp.asarray(pointers)
+        self._idx = jnp.asarray(indices)
+        self._vals = jnp.asarray(values)
+        self._dense_shape = dense_shape
+        self._format = format
+        self._compressed = compressed_dim
+        self._uncompressed = uncompressed_dim
+        self._native = None
+        self._shape = None
+
+    @property
+    def shape(self) -> Shape:
+        return self._dense_shape
+
+    @property
+    def dtype(self):
+        return self._vals.dtype
+
+    @property
+    def format(self) -> str:
+        return self._format
+
+    @property
+    def entries(self) -> int:
+        return int(self._idx.shape[0])
+
+    def _entry_coords(self):
+        """(compressed_ids, uncompressed_ids) per stored entry."""
+        nnz = self._idx.shape[0]
+        comp_ids = jnp.searchsorted(self._pointers, jnp.arange(nnz), side='right') - 1
+        return comp_ids.astype(jnp.int32), self._idx.astype(jnp.int32)
+
+    def _dense(self) -> Tensor:
+        comp_ids, unc_ids = self._entry_coords()
+        n_comp = self._dense_shape.get_size(self._compressed)
+        n_unc = self._dense_shape.get_size(self._uncompressed)
+        arr = jnp.zeros((n_comp, n_unc), self._vals.dtype).at[comp_ids, unc_ids].add(self._vals)
+        order = (self._compressed, self._uncompressed)
+        out = Tensor(arr, self._dense_shape.only(list(order), reorder=True))
+        return out
+
+    def native(self, order=None):
+        return self._dense().native(order)
+
+    def numpy(self, order=None):
+        return self._dense().numpy(order)
+
+    def _op1(self, fn):
+        return SparseCompressedTensor(self._pointers, self._idx, fn(self._vals), self._dense_shape,
+                                      self._format, self._compressed, self._uncompressed)
+
+    def _op2(self, other, fn, reverse=False):
+        if isinstance(other, (int, float)):
+            ov = jnp.asarray(other, self._vals.dtype)
+            new = fn(ov, self._vals) if reverse else fn(self._vals, ov)
+            return SparseCompressedTensor(self._pointers, self._idx, new, self._dense_shape,
+                                          self._format, self._compressed, self._uncompressed)
+        return self._dense()._op2(other, fn, reverse)
+
+    def __matmul__(self, other: Tensor) -> Tensor:
+        dual_name = self._dense_shape.dual.name
+        primal_name = dual_name.lstrip('~')
+        row_name = self._dense_shape.without(dual_name).name
+        comp_ids, unc_ids = self._entry_coords()
+        rows = comp_ids if self._compressed == row_name else unc_ids
+        cols = unc_ids if self._compressed == row_name else comp_ids
+        x = other.native((primal_name,))
+        contrib = self._vals * x[cols]
+        n_rows = self._dense_shape.get_size(row_name)
+        out = jnp.zeros((n_rows,), self._vals.dtype).at[rows].add(contrib)
+        return Tensor(out, self._dense_shape.only(row_name))
+
+    def __repr__(self):
+        return f"Sparse{self._format.upper()}[{self._dense_shape}, {self.entries} entries]"
+
+
+class CompactSparseTensor(Tensor):
+    """Fixed-width per-row sparsity — the TPU-native layout (reference API:
+    phiml CompactSparseTensor): column indices and values as dense
+    (rows, ~capacity) arrays, invalid slots marked by index −1. All ops are
+    dense gathers/reductions of static shapes (no ragged anything); this is
+    also the output layout of the cell-list neighbor search."""
+
+    def __init__(self, col_indices: Tensor, values: Tensor, dense_shape: Shape):
+        self._cols = col_indices
+        self._values = values
+        self._dense_shape = dense_shape
+        self._native = None
+        self._shape = None
+
+    @property
+    def shape(self) -> Shape:
+        return self._dense_shape
+
+    @property
+    def dtype(self):
+        return self._values.dtype
+
+    @property
+    def capacity(self) -> int:
+        return self._cols.shape.sizes[-1] if self._cols.shape.rank else 0
+
+    def _dense(self) -> Tensor:
+        dual_name = self._dense_shape.dual.name
+        row_name = self._dense_shape.without(dual_name).name
+        n_rows = self._dense_shape.get_size(row_name)
+        n_cols = self._dense_shape.get_size(dual_name)
+        cap_dim = [n for n in self._cols.shape.names if n != row_name][0]
+        cols = self._cols.native((row_name, cap_dim))
+        vals = self._values.native((row_name, cap_dim))
+        valid = cols >= 0
+        rows = jnp.broadcast_to(jnp.arange(n_rows)[:, None], cols.shape)
+        arr = jnp.zeros((n_rows, n_cols), vals.dtype).at[
+            rows, jnp.where(valid, cols, 0)].add(jnp.where(valid, vals, 0))
+        return Tensor(arr, self._dense_shape.only([row_name, dual_name], reorder=True))
+
+    def native(self, order=None):
+        return self._dense().native(order)
+
+    def numpy(self, order=None):
+        return self._dense().numpy(order)
+
+    def _op1(self, fn):
+        return CompactSparseTensor(self._cols, self._values._op1(fn), self._dense_shape)
+
+    def _op2(self, other, fn, reverse=False):
+        if isinstance(other, (int, float)):
+            return CompactSparseTensor(self._cols, self._values._op2(other, fn, reverse), self._dense_shape)
+        return self._dense()._op2(other, fn, reverse)
+
+    def __matmul__(self, other: Tensor) -> Tensor:
+        dual_name = self._dense_shape.dual.name
+        primal_name = dual_name.lstrip('~')
+        row_name = self._dense_shape.without(dual_name).name
+        cap_dim = [n for n in self._cols.shape.names if n != row_name][0]
+        cols = self._cols.native((row_name, cap_dim))
+        vals = self._values.native((row_name, cap_dim))
+        x = other.native((primal_name,))
+        valid = cols >= 0
+        contrib = jnp.where(valid, vals * x[jnp.where(valid, cols, 0)], 0)
+        return Tensor(jnp.sum(contrib, axis=1), self._dense_shape.only(row_name))
+
+    def __repr__(self):
+        return f"CompactSparse[{self._dense_shape}, capacity {self.capacity}]"
+
+
+jax.tree_util.register_pytree_node(
+    CompactSparseTensor,
+    lambda t: ((t._cols, t._values), t._dense_shape),
+    lambda shape, ch: CompactSparseTensor(ch[0], ch[1], shape))
+
+
 def sparse_tensor(indices: Tensor, values: Tensor, dense_shape: Shape,
                   can_contain_double_entries=True, indices_sorted=False, format='coo',
                   default=0) -> Tensor:
     """Create a sparse tensor (reference API: phiml.math.sparse_tensor)."""
+    coo = SparseCooTensor(indices, values, dense_shape)
     if format == 'dense':
-        return SparseCooTensor(indices, values, dense_shape)._dense()
-    return SparseCooTensor(indices, values, dense_shape)
+        return coo._dense()
+    if format in ('csr', 'csc', 'compact'):
+        return to_format(coo, format)
+    return coo
 
 
 def is_sparse(x) -> bool:
-    return isinstance(x, SparseCooTensor)
+    return isinstance(x, (SparseCooTensor, SparseCompressedTensor, CompactSparseTensor))
 
 
 def dense(x: Tensor) -> Tensor:
-    return x._dense() if isinstance(x, SparseCooTensor) else x
+    return x._dense() if is_sparse(x) else x
 
 
-def to_format(x: Tensor, format: str) -> Tensor:
-    """'coo'/'csr'/'csc' all map to COO internally (TPU executes dense/segment ops);
-    'dense' densifies."""
-    if format == 'dense':
-        return dense(x)
+def _coo_of(x: Tensor) -> 'SparseCooTensor':
     if isinstance(x, SparseCooTensor):
         return x
-    # densify→sparsify round trip for dense inputs
-    arr = np.asarray(x.native())
+    arr = np.asarray(dense(x).native(x.shape.names))
     nz = np.argwhere(arr != 0)
     vals = arr[tuple(nz.T)]
     idx = wrap(nz.astype(np.int32), instance(entries=nz.shape[0]),
                channel(sparse_idx=x.shape.names))
     return SparseCooTensor(idx, wrap(vals.astype(arr.dtype), instance(entries=len(vals))), x.shape)
+
+
+def to_format(x: Tensor, format: str) -> Tensor:
+    """Convert between 'dense', 'coo', 'csr', 'csc', and 'compact' formats
+    (reference API: phiml to_format; mesh face tables use csr/csc,
+    phi/geom/_mesh.py:36-52)."""
+    if format == 'dense':
+        return dense(x)
+    if format == 'coo':
+        return _coo_of(x)
+    coo = _coo_of(x)
+    labels = coo._indices.shape.get_labels('sparse_idx')
+    dual_names = [n for n in labels if n.startswith('~')]
+    row_names = [n for n in labels if not n.startswith('~')]
+    assert len(dual_names) == 1 and len(row_names) == 1, \
+        f"{format} requires a (row, ~col) matrix, got sparse dims {labels}"
+    row_name, dual_name = row_names[0], dual_names[0]
+    idx_np = np.asarray(coo._indices.native(('entries', 'sparse_idx')))
+    vals_np = np.asarray(coo._values.native())
+    rows = idx_np[:, labels.index(row_name)]
+    cols = idx_np[:, labels.index(dual_name)]
+    n_rows = coo._dense_shape.get_size(row_name)
+    n_cols = coo._dense_shape.get_size(dual_name)
+    if format in ('csr', 'csc'):
+        comp, unc, n_comp = (rows, cols, n_rows) if format == 'csr' else (cols, rows, n_cols)
+        order = np.argsort(comp, kind='stable')
+        pointers = np.zeros(n_comp + 1, np.int32)
+        np.add.at(pointers, comp + 1, 1)
+        pointers = np.cumsum(pointers).astype(np.int32)
+        return SparseCompressedTensor(pointers, unc[order].astype(np.int32), vals_np[order],
+                                      coo._dense_shape, format,
+                                      compressed_dim=row_name if format == 'csr' else dual_name,
+                                      uncompressed_dim=dual_name if format == 'csr' else row_name)
+    if format == 'compact':
+        counts = np.bincount(rows, minlength=n_rows)
+        cap = max(1, int(counts.max()))
+        col_arr = np.full((n_rows, cap), -1, np.int32)
+        val_arr = np.zeros((n_rows, cap), vals_np.dtype)
+        slot = np.zeros(n_rows, np.int32)
+        for r, c, v in zip(rows, cols, vals_np):
+            col_arr[r, slot[r]] = c
+            val_arr[r, slot[r]] = v
+            slot[r] += 1
+        from ._shape import Dim, DUAL, INSTANCE
+        cap_shape = Shape((coo._dense_shape.get_dim(row_name), Dim('~entries_per_row', cap, DUAL, None)))
+        return CompactSparseTensor(Tensor(jnp.asarray(col_arr), cap_shape),
+                                   Tensor(jnp.asarray(val_arr), cap_shape), coo._dense_shape)
+    raise ValueError(f"unknown sparse format {format!r}")
 
 
 def stored_indices(x: SparseCooTensor, list_dim=instance('entries'), index_dim=channel('index')) -> Tensor:

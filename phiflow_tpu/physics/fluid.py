@@ -415,24 +415,32 @@ def _accessible_extrapolation(vext: Extrapolation) -> Extrapolation:
 
 def incompressible_rk4(pde: Callable, velocity: Field, pressure: Field, dt, pressure_order=4,
                        pressure_solve=Solve('CG'), **pde_aux_kwargs):
-    """RK4 time integration with pressure projection inside the loop
-    (Kampanis-style; reference: fluid.py:291-334)."""
-    v1, p1 = velocity, pressure
-    rhs1 = pde(v1, **pde_aux_kwargs) - p1.gradient(at=v1.sampled_at, order=pressure_order)
-    v2_old = velocity + (dt / 2) * rhs1
-    v2, delta_p = make_incompressible(v2_old, solve=pressure_solve, order=pressure_order)
-    p2 = p1 + delta_p / (dt / 2)  # φ = (stage step)·Δp: half-steps divide by dt/2
-    rhs2 = pde(v2, **pde_aux_kwargs) - p2.gradient(at=v1.sampled_at, order=pressure_order)
-    v3_old = velocity + (dt / 2) * rhs2
-    v3, delta_p = make_incompressible(v3_old, solve=pressure_solve, order=pressure_order)
-    p3 = p2 + delta_p / (dt / 2)
-    rhs3 = pde(v3, **pde_aux_kwargs) - p3.gradient(at=v1.sampled_at, order=pressure_order)
-    v4_old = velocity + dt * rhs3
-    v4, delta_p = make_incompressible(v4_old, solve=pressure_solve, order=pressure_order)
-    p4 = p3 + delta_p / dt
-    rhs4 = pde(v4, **pde_aux_kwargs) - p4.gradient(at=v1.sampled_at, order=pressure_order)
-    v_p1_old = velocity + (dt / 6) * (rhs1 + 2 * rhs2 + 2 * rhs3 + rhs4)
-    p_p1_old = (1 / 6) * (p1 + 2 * p2 + 2 * p3 + p4)
-    v_p1, delta_p = make_incompressible(v_p1_old, solve=pressure_solve, order=pressure_order)
-    p_p1 = p_p1_old + delta_p / dt
-    return v_p1, p_p1
+    """RK4 time integration with the pressure projection inside every stage
+    (Kampanis-Ekaterinaris scheme; reference behavior: fluid.py:291-334).
+
+    Each stage evaluates the PDE right-hand side minus the current pressure
+    gradient, advances a trial velocity by the stage step, and re-projects it;
+    the stage pressure accumulates the projection correction scaled by 1/step
+    (the solve returns step·Δp)."""
+    at = velocity.sampled_at
+
+    def stage(stage_dt, rhs, p_prev):
+        """Advance velocity by stage_dt·rhs, project, update the pressure."""
+        trial = velocity + stage_dt * rhs
+        projected, correction = make_incompressible(trial, solve=pressure_solve, order=pressure_order)
+        return projected, p_prev + correction / stage_dt
+
+    def momentum(v, p):
+        return pde(v, **pde_aux_kwargs) - p.gradient(at=at, order=pressure_order)
+
+    k1 = momentum(velocity, pressure)
+    v_half, p_half = stage(dt / 2, k1, pressure)
+    k2 = momentum(v_half, p_half)
+    v_half2, p_half2 = stage(dt / 2, k2, p_half)
+    k3 = momentum(v_half2, p_half2)
+    v_full, p_full = stage(dt, k3, p_half2)
+    k4 = momentum(v_full, p_full)
+    # classical RK4 combination of the four slopes / stage pressures
+    v_next, p_next = stage(dt, (k1 + 2 * k2 + 2 * k3 + k4) / 6,
+                           (pressure + 2 * p_half + 2 * p_half2 + p_full) / 6)
+    return v_next, p_next

@@ -41,14 +41,22 @@ def neighbor_graph(nodes: Geometry,
     # --- support radius from desired neighbor count (reference :71-86) ---
     avg_volume = ops.mean(nodes.volume, nodes.shape.instance) if nodes.shape.instance else nodes.volume
     support = Sphere.radius_from_volume(avg_volume * desired_neighbors, nodes.spatial_rank)
-    # --- dense neighbor search ---
-    dom = (domain.lower, domain.upper) if domain is not None else None
-    deltas = ops.pairwise_differences(nodes.center, max_distance=None, format=format,
-                                      method=search_method, domain=dom, periodic=periodic, default=0.)
-    dist2 = ops.vec_squared(deltas)
-    mask = (dist2 < support ** 2) & (dist2 > 1e-12)  # excludes the self-pair exactly
-    deltas = deltas * ops.to_float(mask)
-    distances = ops.sqrt(dist2) * ops.to_float(mask)
+    # --- neighbor search: dense all-pairs, or cell-list for large N ---
+    indices = None
+    n_particles = nodes.shape.instance.volume
+    use_cell_list = (format == 'compact' or search_method == 'cell-list'
+                     or (search_method == 'auto' and domain is not None and n_particles > 4096))
+    if use_cell_list:
+        assert domain is not None, "cell-list search requires a domain Box"
+        indices, deltas, mask, distances = _cell_list_graph(nodes, support, domain, periodic)
+    else:
+        dom = (domain.lower, domain.upper) if domain is not None else None
+        deltas = ops.pairwise_differences(nodes.center, max_distance=None, format=format,
+                                          method=search_method, domain=dom, periodic=periodic, default=0.)
+        dist2 = ops.vec_squared(deltas)
+        mask = (dist2 < support ** 2) & (dist2 > 1e-12)  # excludes the self-pair exactly
+        deltas = deltas * ops.to_float(mask)
+        distances = ops.sqrt(dist2) * ops.to_float(mask)
     # --- evaluate kernel on edges ---
     compute_list = [s.strip() for s in compute.split(',') if s.strip()]
     if compute_list:
@@ -64,7 +72,35 @@ def neighbor_graph(nodes: Geometry,
         edges = concat(parts, 'vector')
     else:
         edges = ops.safe_div(ops.to_float(mask), distances)
-    return Graph(nodes, edges, boundary, deltas=deltas, distances=distances, bounding_distance=support)
+    return Graph(nodes, edges, boundary, deltas=deltas, distances=distances, bounding_distance=support,
+                 indices=indices)
+
+
+def _cell_list_graph(nodes: Geometry, support, domain: Box, periodic):
+    """Fixed-width neighbor candidates via the cell-list search
+    (math._neighbors; SURVEY.md §7 step 9). Returns named tensors with the
+    compact dual dim '~neighbors' of static width 3^d·capacity."""
+    from ..math._neighbors import cell_list_neighbors
+    import jax.numpy as jnp
+    inst = nodes.shape.instance
+    labels = nodes.shape.get_labels('vector')
+    pos = nodes.center.native((inst.names[0], 'vector'))
+    lower = np.asarray(domain.lower.native()).reshape(-1)
+    upper = np.asarray(domain.upper.native()).reshape(-1)
+    cutoff = float(support)
+    idx, deltas, mask = cell_list_neighbors(pos, cutoff, lower, upper, periodic=bool(periodic))
+    M = idx.shape[1]
+    from ..math import Shape as _Shape
+    from ..math._shape import Dim, DUAL, INSTANCE, CHANNEL
+    shape2 = _Shape((Dim(inst.names[0], pos.shape[0], INSTANCE, None), Dim('~neighbors', M, DUAL, None)))
+    shape3 = _Shape((Dim(inst.names[0], pos.shape[0], INSTANCE, None), Dim('~neighbors', M, DUAL, None),
+                     Dim('vector', len(labels), CHANNEL, tuple(labels))))
+    maskf = mask.astype(pos.dtype)
+    deltas_t = Tensor(deltas * maskf[..., None], shape3)
+    dist_t = Tensor(jnp.sqrt(jnp.sum(deltas ** 2, axis=-1)) * maskf, shape2)
+    idx_t = Tensor(jnp.where(mask, idx, -1), shape2)
+    mask_t = Tensor(mask, shape2)
+    return idx_t, deltas_t, mask_t, dist_t
 
 
 def expected_neighbors(volume: Tensor, support_radius, spatial_rank: int):

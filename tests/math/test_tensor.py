@@ -95,3 +95,20 @@ def test_grid_sample_linear():
     coords = wrap(np.array([[0.5], [1.25]], np.float32), instance(p=2), channel(vector='x'))
     v = math.grid_sample(g, coords, math.extrapolation.ZERO)
     assert np.allclose(v.numpy('p'), [0.5, 1.25])
+
+
+def test_neighbor_mean():
+    import numpy as np
+    from phiflow_tpu.math import neighbor_mean, wrap, spatial
+    g = wrap(np.arange(6, dtype=np.float32), spatial('x'))
+    out = neighbor_mean(g, 'x')
+    np.testing.assert_allclose(np.asarray(out.native()), np.arange(5) + 0.5)
+
+
+def test_sample_subgrid():
+    import numpy as np
+    from phiflow_tpu.math import sample_subgrid, wrap, spatial, channel
+    g = wrap(np.arange(20, dtype=np.float32).reshape(4, 5), spatial(x=4, y=5))
+    sub = sample_subgrid(g, wrap([0.5, 1.0], channel(vector=['x', 'y'])), spatial(x=3, y=3))
+    expected = (np.arange(20).reshape(4, 5)[:3, 1:4] + np.arange(20).reshape(4, 5)[1:4, 1:4]) / 2
+    np.testing.assert_allclose(np.asarray(sub.native(('x', 'y'))), expected)
