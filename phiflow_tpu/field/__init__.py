@@ -16,7 +16,7 @@ from ._angular_velocity import AngularVelocity
 from ._point_cloud import PointCloud, nonzero, distribute_points
 from ._embed import FieldEmbedding
 from ._field_io import write, read
-from ._scene import Scene
+from ._scene import Scene, SceneBatch
 
 # aliases & re-exports matching the reference namespace (phi/field/__init__.py)
 SampledField = Field  # PhiFlow 2.x alias

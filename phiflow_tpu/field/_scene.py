@@ -17,7 +17,7 @@ from ..math import Tensor, Shape, wrap, batch
 from ._field import Field
 from ._field_io import write as write_field, read as read_field_file
 
-__all__ = ['Scene']
+__all__ = ['Scene', 'SceneBatch']
 
 
 def _slugify(name: str) -> str:
@@ -41,9 +41,17 @@ class Scene:
 
     # --- creation / listing (reference: phi/field/_scene.py:111-186) ---
     @staticmethod
-    def create(parent_directory: str, count: int = 1, copy_calling_script=True, **properties) -> 'Scene':
+    def create(parent_directory: str, count: Union[int, Shape] = 1, copy_calling_script=True,
+               **properties) -> 'Scene':
+        """Create one scene directory, or — when `count` is a batch Shape — one
+        directory per batch index, returned as a `SceneBatch` whose write/read
+        slice fields along the batch dims (reference: _scene.py:111-152)."""
         parent_directory = os.path.expanduser(parent_directory)
         os.makedirs(parent_directory, exist_ok=True)
+        if isinstance(count, Shape):
+            scenes = [Scene.create(parent_directory, 1, copy_calling_script, **properties)
+                      for _ in range(count.volume)]
+            return SceneBatch(scenes, count)
         if count > 1:
             return [Scene.create(parent_directory, 1, copy_calling_script, **properties) for _ in range(count)]
         existing = Scene.list(parent_directory)
@@ -169,3 +177,72 @@ class Scene:
 
     def __repr__(self):
         return f"Scene({self._path})"
+
+
+class SceneBatch:
+    """Batched scenes: one directory per batch index (reference:
+    phi/field/_scene.py:111-152 — `Scene.create(..., batch(b=4))`).
+
+    `write` slices each field along the batch dims and writes the slice into
+    the matching directory; `read` reassembles the batch by stacking."""
+
+    def __init__(self, scenes, batch_shape: Shape):
+        assert len(scenes) == batch_shape.volume
+        self.scenes = scenes
+        self.batch_shape = batch_shape
+
+    @property
+    def paths(self):
+        return [s.path for s in self.scenes]
+
+    def _indices(self):
+        import itertools
+        names = self.batch_shape.names
+        ranges = [range(s) for s in self.batch_shape.sizes]
+        for i, combo in enumerate(itertools.product(*ranges)):
+            yield i, dict(zip(names, combo))
+
+    def write(self, data: dict = None, frame: int = 0, **fields):
+        fields = {**(data or {}), **fields}
+        for i, sel in self._indices():
+            sliced = {}
+            for name, field in fields.items():
+                if field is None:
+                    continue
+                f_sel = {k: v for k, v in sel.items() if k in field.shape}
+                sliced[name] = field[f_sel] if f_sel else field
+            self.scenes[i].write(sliced, frame=frame)
+
+    def read_field(self, name: str, frame: int = 0) -> Field:
+        from ..math import stack as math_stack, batch as batch_dim
+        fields = [s.read_field(name, frame) for s in self.scenes]
+        if self.batch_shape.rank == 1:
+            values = math_stack([f.values for f in fields], self.batch_shape)
+            return fields[0].with_values(values)
+        # multi-dim batch: stack innermost-first
+        shape = self.batch_shape
+        values = math_stack([f.values for f in fields], batch_dim(_flat=len(fields)))
+        from ..math import unpack_dim
+        values = unpack_dim(values, '_flat', shape)
+        return fields[0].with_values(values)
+
+    def read(self, *names: str, frame: int = 0):
+        results = [self.read_field(n, frame) for n in names]
+        return results[0] if len(results) == 1 else tuple(results)
+
+    def put_properties(self, **properties):
+        for s in self.scenes:
+            s.put_properties(**properties)
+
+    def remove(self):
+        for s in self.scenes:
+            s.remove()
+
+    def __len__(self):
+        return len(self.scenes)
+
+    def __getitem__(self, i):
+        return self.scenes[i]
+
+    def __repr__(self):
+        return f"SceneBatch({self.batch_shape}, {len(self.scenes)} scenes)"

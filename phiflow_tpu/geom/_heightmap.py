@@ -72,12 +72,67 @@ class Heightmap(Geometry):
         z = location.vector[self.up_dim]
         return (z <= h) if self._fill_below else (z >= h)
 
+    def _surface_gradient_at(self, location: Tensor):
+        """∂h/∂(base dims) at the location's footprint — central differences of
+        the height grid sampled like the height itself. Returns a dict
+        base_dim → slope tensor."""
+        base_dims = self._height.shape.spatial
+        base_labels = list(base_dims.names)
+        grads = {}
+        for i, dim in enumerate(base_labels):
+            dx = float(self._bounds.size.vector[dim]) / base_dims.get_size(dim)
+            padded = extrapolation_mod.BOUNDARY.pad(self._height, {dim: (1, 1)})
+            n = base_dims.get_size(dim)
+            g = (padded[{dim: slice(2, n + 2)}] - padded[{dim: slice(0, n)}]) / (2 * dx)
+            base_lower = ops.stack({m: self._bounds.lower.vector[m] for m in base_labels},
+                                   channel(vector=base_labels))
+            base_size = ops.stack({m: self._bounds.size.vector[m] for m in base_labels},
+                                  channel(vector=base_labels))
+            base_loc = ops.stack({m: location.vector[m] for m in base_labels},
+                                 channel(vector=base_labels))
+            local = (base_loc - base_lower) / base_size
+            coords = local * wrap([float(s) for s in base_dims.sizes], channel(vector=base_labels)) - 0.5
+            grads[dim] = ops.grid_sample(g, coords, extrapolation_mod.BOUNDARY)
+        return grads
+
     def approximate_signed_distance(self, location: Tensor) -> Tensor:
-        """Vertical-distance approximation (exact for flat terrain, good in the
-        narrow band; reference uses face-search within max_dist)."""
+        """Slope-corrected distance to the surface: vertical distance divided by
+        √(1+|∇h|²) — first-order accurate in the narrow band (reference builds
+        explicit surface faces within max_dist, _heightmap.py:253-331; the
+        analytic correction achieves the same near-band accuracy without the
+        face tables)."""
         h = self._surface_height_at(location)
         z = location.vector[self.up_dim]
-        return (z - h) if self._fill_below else (h - z)
+        vertical = (z - h) if self._fill_below else (h - z)
+        grads = self._surface_gradient_at(location)
+        slope_sq = None
+        for g in grads.values():
+            slope_sq = g ** 2 if slope_sq is None else slope_sq + g ** 2
+        return vertical / ops.sqrt(1.0 + slope_sq)
+
+    def approximate_closest_surface(self, location: Tensor):
+        """(signed_distance, delta, normal, None, None) with the outward normal
+        (−∇h, 1)/√(1+|∇h|²) of the terrain surface z = h(x)."""
+        h = self._surface_height_at(location)
+        z = location.vector[self.up_dim]
+        vertical = (z - h) if self._fill_below else (h - z)
+        grads = self._surface_gradient_at(location)
+        slope_sq = None
+        for g in grads.values():
+            slope_sq = g ** 2 if slope_sq is None else slope_sq + g ** 2
+        inv_norm = 1.0 / ops.sqrt(1.0 + slope_sq)
+        sgn_dist = vertical * inv_norm
+        labels = self._bounds.shape.get_labels('vector')
+        sign = 1.0 if self._fill_below else -1.0
+        comps = {}
+        for dim in labels:
+            if dim == self.up_dim:
+                comps[dim] = sign * inv_norm
+            else:
+                comps[dim] = -sign * grads[dim] * inv_norm
+        normal = ops.stack(comps, channel(vector=list(labels)))
+        delta = -sgn_dist * normal
+        return sgn_dist, delta, normal, None, None
 
     def bounding_radius(self) -> Tensor:
         return self._bounds.bounding_radius()

@@ -623,8 +623,108 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
 # nonlinear solves / minimize
 # ---------------------------------------------------------------------------
 
+def _lbfgs(value_and_grad: Callable, x0: jnp.ndarray, max_iter: int, tol: float,
+           history: int = 10):
+    """Limited-memory BFGS with backtracking (Armijo) line search, fully
+    jit-able: fixed-size cyclic history buffers + two-loop recursion over
+    masked slots (the reference relies on scipy L-BFGS-B; this is the
+    device-resident equivalent, without box constraints)."""
+    n = x0.shape[0]
+    m = history
+    f0, g0 = value_and_grad(x0)
+
+    def two_loop(g, S, Y, rho, count):
+        """H·g using the stored (s, y) pairs (most recent = slot (count−1) % m)."""
+        q = g
+        alphas = jnp.zeros(m, x0.dtype)
+
+        def bwd(i, carry):
+            q, alphas = carry
+            j = (count - 1 - i) % m
+            valid = i < jnp.minimum(count, m)
+            a = jnp.where(valid, rho[j] * jnp.dot(S[j], q), 0.0)
+            q = q - a * Y[j]
+            return q, alphas.at[j].set(a)
+
+        q, alphas = jax.lax.fori_loop(0, m, bwd, (q, alphas))
+        # initial Hessian scale from the most recent pair
+        last = (count - 1) % m
+        sy = jnp.dot(S[last], Y[last])
+        yy = jnp.dot(Y[last], Y[last])
+        gamma = jnp.where((count > 0) & (yy > 1e-30), sy / jnp.maximum(yy, 1e-30), 1.0)
+        r = gamma * q
+
+        def fwd(i, r):
+            j = (count - jnp.minimum(count, m) + i) % m
+            valid = i < jnp.minimum(count, m)
+            beta = jnp.where(valid, rho[j] * jnp.dot(Y[j], r), 0.0)
+            return r + jnp.where(valid, (alphas[j] - beta), 0.0) * S[j]
+
+        return jax.lax.fori_loop(0, m, fwd, r)
+
+    try:  # strong-Wolfe search (guarantees s·y > 0 so the history stays useful)
+        from jax._src.scipy.optimize.line_search import line_search as _wolfe
+    except ImportError:  # pragma: no cover — fall back to Armijo backtracking
+        _wolfe = None
+
+    def line_search(x, fx, g, direction):
+        if _wolfe is not None:
+            ls = _wolfe(lambda z: value_and_grad(z)[0], x, direction, old_fval=fx, gfk=g)
+            ok = jnp.isfinite(ls.a_k) & (ls.a_k > 0)
+            return jnp.where(ok, ls.a_k, jnp.asarray(1e-8, x.dtype))
+        # Armijo backtracking fallback
+        g_dot_d = jnp.dot(g, direction)
+
+        def cond(state):
+            step, fnew, tries = state
+            return (fnew > fx + 1e-4 * step * g_dot_d) & (tries < 20)
+
+        def body(state):
+            step, _, tries = state
+            step = step * 0.5
+            fnew, _ = value_and_grad(x + step * direction)
+            return step, fnew, tries + 1
+
+        f1, _ = value_and_grad(x + direction)
+        step, fnew, _ = jax.lax.while_loop(cond, body, (jnp.asarray(1.0, x.dtype), f1, 0))
+        return step
+
+    def cond(state):
+        x, fx, g, S, Y, rho, count, it = state
+        return (jnp.max(jnp.abs(g)) > tol) & (it < max_iter)
+
+    def body(state):
+        x, fx, g, S, Y, rho, count, it = state
+        d = -two_loop(g, S, Y, rho, count)
+        # safeguard: fall back to steepest descent on non-descent directions
+        d = jnp.where(jnp.dot(d, g) < 0, d, -g)
+        step = line_search(x, fx, g, d)
+        x_new = x + step * d
+        f_new, g_new = value_and_grad(x_new)
+        s = x_new - x
+        y = g_new - g
+        sy = jnp.dot(s, y)
+        slot = count % m
+        good = sy > 1e-10
+        S = jnp.where(good, S.at[slot].set(s), S)
+        Y = jnp.where(good, Y.at[slot].set(y), Y)
+        rho = jnp.where(good, rho.at[slot].set(1.0 / jnp.maximum(sy, 1e-30)), rho)
+        count = count + jnp.where(good, 1, 0)
+        return x_new, f_new, g_new, S, Y, rho, count, it + 1
+
+    S0 = jnp.zeros((m, n), x0.dtype)
+    Y0 = jnp.zeros((m, n), x0.dtype)
+    rho0 = jnp.zeros(m, x0.dtype)
+    state = (x0, f0, g0, S0, Y0, rho0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    x, fx, g, *_, it = jax.lax.while_loop(cond, body, state)
+    return x, fx, jnp.max(jnp.abs(g)), it
+
+
 def minimize(f: Callable, solve: Solve):
-    """Minimize a scalar function of the Solve's x0 (reference: examples/optim)."""
+    """Minimize a scalar function of the Solve's x0 (reference: examples/optim).
+
+    Methods: 'L-BFGS-B' (default 'auto' — device-resident L-BFGS, no box
+    constraints), 'BFGS' (jax.scipy.optimize), 'GD'."""
     solve = solve.with_defaults('optimization')
     x0 = solve.x0
     fmt = _VecFormat(x0)
@@ -638,6 +738,21 @@ def minimize(f: Callable, solve: Solve):
         lt = wrap(lt)
         return jnp.sum(lt.native())
 
+    method = solve.method if solve.method not in (None, 'auto') else 'L-BFGS-B'
+    if method in ('L-BFGS-B', 'L-BFGS', 'lbfgs'):
+        vag = jax.value_and_grad(loss_flat)
+        x_flat, fx, gmax, it = _lbfgs(vag, x0_vec.reshape(-1),
+                                      max_iter=solve.max_iterations,
+                                      tol=solve.abs_tol if solve.abs_tol else 1e-6)
+        x = fmt.unflatten(x_flat.reshape(shape_bn))
+        if not isinstance(gmax, jax.core.Tracer):
+            success = bool(np.asarray(gmax) <= max(solve.abs_tol or 1e-6, 1e-6) * 10) \
+                or bool(np.asarray(it) < solve.max_iterations)
+            info = SolveInfo(solve, x, fx, int(np.asarray(it)), -1, success, False, 'L-BFGS-B')
+        else:
+            info = SolveInfo(solve, x, fx, it, -1, True, False, 'L-BFGS-B', msg='traced')
+        _record(info)
+        return x
     from jax.scipy.optimize import minimize as jsp_minimize
     result = jsp_minimize(loss_flat, x0_vec.reshape(-1), method='BFGS',
                           options={'maxiter': solve.max_iterations})

@@ -47,18 +47,21 @@ def get_precision() -> int:
 
 
 class precision:
-    """Context manager for float precision: ``with math.precision(64): ...``"""
+    """Context manager for float precision: ``with math.precision(64): ...``.
+    Restores both the default float width AND the jax x64 flag on exit."""
     def __init__(self, bits: int):
         self.bits = bits
 
     def __enter__(self):
         self.old = _PRECISION[0]
+        self.old_x64 = jax.config.read('jax_enable_x64')
         if self.bits == 64:
             jax.config.update('jax_enable_x64', True)
         _PRECISION[0] = self.bits
 
     def __exit__(self, *args):
         _PRECISION[0] = self.old
+        jax.config.update('jax_enable_x64', self.old_x64)
 
 
 def default_float():

@@ -51,6 +51,7 @@ _PAGE = """<!DOCTYPE html>
 <img id="plot" src="/plot?field={first}">
 <h3>Scalars</h3>
 <img id="curves" src="/curves">
+<p><a href="/board">&Phi; Board (benchmark / profiler / system)</a></p>
 <script>
  const fieldSel = document.getElementById('field');
  function refresh() {{
@@ -81,8 +82,55 @@ _PAGE = """<!DOCTYPE html>
 """
 
 
+_BOARD_PAGE = """<!DOCTYPE html>
+<html><head><title>{title} — &Phi; Board</title>
+<style>
+ body {{ font-family: sans-serif; margin: 1.5em; background: #fafafa; }}
+ button {{ margin: 0 .2em; padding: .4em 1em; }}
+ table {{ border-collapse: collapse; }} td, th {{ border: 1px solid #ccc; padding: .3em .8em; }}
+ pre {{ background: #eee; padding: .6em; }}
+</style></head>
+<body>
+<h2>&Phi; Board — {title}</h2>
+<p><a href="/">&larr; back to viewer</a></p>
+<h3>Step benchmark</h3>
+<p>(reference: phi/vis/_dash/board.py:25 build_benchmark)</p>
+<button onclick="bench(10)">Benchmark 10 steps</button>
+<button onclick="bench(100)">Benchmark 100 steps</button>
+<table id="bench"><tr><th>steps</th><th>total&nbsp;s</th><th>ms/step</th></tr></table>
+<h3>Profiler</h3>
+<p>(TPU-native analog of board.py:56 build_tf_profiler — captures a
+<code>jax.profiler</code> trace viewable in TensorBoard/XProf)</p>
+<button onclick="profile(5)">Trace 5 steps</button>
+<pre id="profout">no trace captured yet</pre>
+<h3>System</h3>
+<pre id="sysinfo">loading&hellip;</pre>
+<script>
+ async function bench(n) {{
+   const r = await fetch('/api/benchmark?n=' + n, {{method: 'POST'}});
+   const s = await r.json();
+   document.getElementById('bench').innerHTML +=
+     `<tr><td>${{s.steps}}</td><td>${{s.seconds.toFixed(3)}}</td><td>${{s.ms_per_step.toFixed(2)}}</td></tr>`;
+ }}
+ async function profile(n) {{
+   document.getElementById('profout').textContent = 'tracing...';
+   const r = await fetch('/api/profile?n=' + n, {{method: 'POST'}});
+   const s = await r.json();
+   document.getElementById('profout').textContent = JSON.stringify(s, null, 1);
+ }}
+ async function sysinfo() {{
+   const r = await fetch('/api/sysinfo'); const s = await r.json();
+   document.getElementById('sysinfo').textContent = JSON.stringify(s, null, 1);
+ }}
+ sysinfo();
+</script>
+</body></html>
+"""
+
+
 class WebGui(Gui):
-    """Std-lib HTTP web interface over a `VisModel` (Dash-app parity)."""
+    """Std-lib HTTP web interface over a `VisModel` (Dash-app parity: Home +
+    Φ-Board pages; reference: phi/vis/_dash/dash_gui.py:27-42, board.py)."""
 
     def __init__(self, port: int = 8050, host: str = '127.0.0.1'):
         super().__init__(asynchronous=True)
@@ -156,6 +204,36 @@ class WebGui(Gui):
             n = int(query.get('n', ['10'])[0])
             steps, elapsed = benchmark(self.app, n)
             return {'steps': steps, 'seconds': elapsed, 'ms_per_step': 1000 * elapsed / max(1, steps)}
+        if cmd == 'profile':
+            # capture a jax.profiler trace over n steps (Φ-Board profiler page;
+            # TPU-native analog of the reference's TF-timeline capture)
+            import os
+            import tempfile
+            import time as _time
+            import jax as _jax
+            n = int(query.get('n', ['5'])[0])
+            trace_dir = query.get('dir', [None])[0] or os.path.join(tempfile.gettempdir(), 'phiflow_tpu_trace')
+            os.makedirs(trace_dir, exist_ok=True)
+            t0 = _time.perf_counter()
+            with _jax.profiler.trace(trace_dir):
+                for _ in range(n):
+                    self.app.progress()
+            elapsed = _time.perf_counter() - t0
+            return {'steps': n, 'seconds': elapsed, 'trace_dir': trace_dir,
+                    'hint': f'view with: tensorboard --logdir {trace_dir}'}
+        if cmd == 'sysinfo':
+            import jax as _jax
+            devs = _jax.devices()
+            info = {'backend': _jax.default_backend(),
+                    'devices': [str(d) for d in devs], 'device_count': len(devs)}
+            try:
+                stats = devs[0].memory_stats()
+                if stats:
+                    info['memory'] = {k: v for k, v in stats.items()
+                                      if 'bytes' in k and isinstance(v, int)}
+            except Exception:
+                pass
+            return info
         if cmd == 'control':
             name = query['name'][0]
             for c in self.app.controls:
@@ -196,6 +274,8 @@ class WebGui(Gui):
                         page = _PAGE.format(title=gui.app.name, options=options,
                                             first=fields[0] if fields else '')
                         self._send(page.encode(), 'text/html')
+                    elif url.path == '/board':
+                        self._send(_BOARD_PAGE.format(title=gui.app.name).encode(), 'text/html')
                     elif url.path == '/plot':
                         name = query.get('field', [gui.app.field_names[0]])[0]
                         self._send(gui._render_field_png(name), 'image/png')

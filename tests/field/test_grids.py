@@ -110,3 +110,20 @@ def test_vector_slicing_staggered():
     assert vx.is_centered  # single component is a centered field on the face grid
     assert float(vx.values.x[0].y[0]) == 1.0
     assert vx.geometry.resolution.get_size('x') == 8
+
+
+def test_scene_batch_create_write_read():
+    """Batch dims → one directory per index (reference: phi/field/_scene.py:111-152)."""
+    import tempfile
+    import numpy as np
+    from phiflow_tpu.field import Scene, CenteredGrid, Noise
+    from phiflow_tpu.math import batch as batch_dim, extrapolation
+    with tempfile.TemporaryDirectory() as d:
+        sb = Scene.create(d, batch_dim(b=3), copy_calling_script=False)
+        assert len(sb.paths) == 3
+        g = CenteredGrid(Noise(batch_dim(b=3)), extrapolation.PERIODIC, x=8, y=8)
+        sb.write(smoke=g)
+        back = sb.read_field('smoke')
+        a = np.asarray(back.values.native(('b', 'x', 'y')))
+        b = np.asarray(g.values.native(('b', 'x', 'y')))
+        np.testing.assert_allclose(a, b)

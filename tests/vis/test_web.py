@@ -55,3 +55,39 @@ def test_web_gui_roundtrip():
         assert png2[:8] == b'\x89PNG\r\n\x1a\n'
     finally:
         gui.close()
+
+
+def test_board_page_and_endpoints():
+    """Φ-Board page: benchmark + sysinfo endpoints (reference:
+    phi/vis/_dash/board.py:25,56,91)."""
+    import json
+    import urllib.request
+    from phiflow_tpu.vis._web import WebGui
+
+    class Model(VisModel):
+        @property
+        def field_names(self):
+            return ('f',)
+
+        def get_field(self, name, sel):
+            from phiflow_tpu.field import CenteredGrid
+            from phiflow_tpu.math import extrapolation
+            return CenteredGrid(0., extrapolation.ZERO, x=4, y=4)
+
+        def progress(self):
+            self.steps += 1
+
+    gui = WebGui(port=0)
+    gui.setup(Model())
+    gui.show(block=False)
+    base = f"http://127.0.0.1:{gui.port}"
+    try:
+        page = urllib.request.urlopen(f"{base}/board", timeout=10).read().decode()
+        assert 'Board' in page and 'benchmark' in page.lower()
+        info = json.loads(urllib.request.urlopen(f"{base}/api/sysinfo", timeout=10).read())
+        assert 'backend' in info and info['device_count'] >= 1
+        bench_result = json.loads(urllib.request.urlopen(
+            urllib.request.Request(f"{base}/api/benchmark?n=3", method='POST'), timeout=30).read())
+        assert bench_result['steps'] == 3 and bench_result['ms_per_step'] >= 0
+    finally:
+        gui.close()
