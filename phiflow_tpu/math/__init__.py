@@ -52,6 +52,7 @@ from ._functional import (
 from ._solve import (
     Solve, SolveInfo, SolveTape, solve_linear, solve_nonlinear, minimize, copy_solve,
 )
+from ._layout import Layout, layout
 from ._sparse import (
     SparseCooTensor, sparse_tensor, is_sparse, dense, to_format, stored_indices, stored_values,
     matrix_from_function,

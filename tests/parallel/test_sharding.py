@@ -100,3 +100,28 @@ def test_smoke_step_sharded():
         v2, s2, p2 = jax.jit(step)(velocity, smoke_sharded, None)
         v2, s2, p2 = jax.jit(step)(v2, s2, p2)
     math.assert_close(s1.values, s2.values, abs_tolerance=1e-4)
+
+
+def test_sharded_scene_io_roundtrip():
+    """Chunked per-shard field IO (SURVEY.md §7 step 12 — the reference's
+    Scene IO is host-gather only)."""
+    import tempfile, os
+    import numpy as np
+    from phiflow_tpu.field._field_io import write_sharded, read_sharded
+    g = CenteredGrid(Noise(), extrapolation.PERIODIC, x=16, y=16)
+    mesh = _mesh2d()
+    gs = shard_field(g, mesh)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, 'field.npz')
+        write_sharded(gs, path)
+        assert os.path.isfile(os.path.join(d, 'field.manifest.npz'))
+        assert os.path.isfile(os.path.join(d, 'field.shard0.npz'))
+        # host assembly
+        back = read_sharded(path)
+        np.testing.assert_allclose(np.asarray(back.values.native(('x', 'y'))),
+                                   np.asarray(g.values.native(('x', 'y'))), rtol=1e-6)
+        # direct-to-device placement with the original sharding
+        back_sharded = read_sharded(path, sharding=gs.values.native().sharding)
+        assert len(back_sharded.values.native().addressable_shards) == 4
+        np.testing.assert_allclose(np.asarray(back_sharded.values.native(('x', 'y'))),
+                                   np.asarray(g.values.native(('x', 'y'))), rtol=1e-6)
