@@ -1,0 +1,79 @@
+"""SPH dam break (reference: phi/physics/sph.py kernels + neighbor search;
+particle scale uses the cell-list search, math/_neighbors.py).
+
+A block of weakly-compressible SPH particles collapses under gravity inside a
+box. Density from the Wendland-C2 kernel sum, Tait pressure, symmetric pressure
+force, boundary penalty walls."""
+import _path  # noqa: F401
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from phiflow_tpu.math import Tensor, instance, channel
+from phiflow_tpu.math._shape import Shape, Dim
+from phiflow_tpu.math._neighbors import cell_list_neighbors
+from phiflow_tpu.physics import sph
+
+# --- particle block in the left third of a unit box ---
+nx, ny = 40, 80
+dx = 0.008
+X, Y = np.meshgrid(np.arange(nx) * dx + 0.05, np.arange(ny) * dx + 0.05, indexing='ij')
+pos = np.stack([X.ravel(), Y.ravel()], -1).astype(np.float32)
+N = pos.shape[0]
+vel = np.zeros_like(pos)
+h = 2.5 * dx          # support radius
+rho0 = 1.0 / dx ** 2  # rest density (per-area number density scale)
+mass = 1.0
+c0, gamma = 20.0, 7.0  # Tait EOS
+GRAV = np.array([0.0, -9.81], np.float32)
+
+
+def wendland(r, h):
+    q = jnp.clip(r / h, 0.0, 1.0)
+    alpha = 7.0 / (np.pi * h ** 2)
+    return alpha * (1 - q) ** 4 * (4 * q + 1)
+
+
+def wendland_grad_mag(r, h):
+    q = jnp.clip(r / h, 0.0, 1.0)
+    alpha = 7.0 / (np.pi * h ** 2)
+    return alpha * (-20.0) * q * (1 - q) ** 3 / h
+
+
+@jax.jit
+def step(pos, vel):
+    dt = 2e-4
+    idx, deltas, mask = cell_list_neighbors(pos, h, [0., 0.], [1., 1.], capacity=32)
+    r = jnp.sqrt(jnp.sum(deltas ** 2, -1) + 1e-12)
+    W = jnp.where(mask, wendland(r, h), 0.0)
+    rho = mass * (wendland(jnp.zeros(()), h) + jnp.sum(W, 1))
+    P = (c0 ** 2 * rho0 / gamma) * ((rho / rho0) ** gamma - 1.0)
+    P = jnp.maximum(P, 0.0)  # no tensile instability
+    # symmetric pressure acceleration: −m Σ (P_i/ρ_i² + P_j/ρ_j²) ∇W_ij
+    safe = jnp.where(mask, idx, 0)
+    P_over_rho2 = P / rho ** 2
+    pair = P_over_rho2[:, None] + P_over_rho2[safe]
+    gradW = wendland_grad_mag(r, h)
+    dir_ij = deltas / r[..., None]
+    acc = -mass * jnp.sum(jnp.where(mask, pair * gradW, 0.0)[..., None] * dir_ij, 1)
+    # boundary penalty: spring force from the walls
+    k_wall = 3000.0
+    acc = acc + k_wall * jnp.maximum(0.02 - pos, 0.0) - k_wall * jnp.maximum(pos - 0.98, 0.0)
+    vel = vel + dt * (acc + GRAV)
+    vel = vel * 0.999  # mild damping
+    pos = pos + dt * vel
+    return pos, vel
+
+
+p, v = jnp.asarray(pos), jnp.asarray(vel)
+for i in range(400):
+    p, v = step(p, v)
+    if i % 100 == 0:
+        pn = np.asarray(p)
+        print(f"step {i:4d}: x-extent [{pn[:, 0].min():.3f}, {pn[:, 0].max():.3f}], "
+              f"max speed {np.abs(np.asarray(v)).max():.2f}")
+pn = np.asarray(p)
+assert np.isfinite(pn).all()
+assert pn[:, 0].max() > 0.5, "dam should collapse and spread to the right"
+assert pn.min() > -0.05 and pn.max() < 1.05, "particles must stay in the box"
+print(f"OK — {N} particles, front reached x={pn[:, 0].max():.2f}")

@@ -32,6 +32,7 @@ from ._ops import (
     close, always_close, assert_close, equal,
     gather, scatter, boolean_mask, nonzero,
     pad, shift, grid_sample, closest_grid_values, neighbor_mean, sample_subgrid,
+    quantile, median, histogram,
     fft, ifft, fftfreq,
     vec, vec_length, vec_squared, vec_normalize, norm, length, squared_norm, normalize,
     cross, cross_product, dim_mask,

@@ -786,6 +786,48 @@ def shift(value: Tensor, offsets: tuple, dims: DimFilter = spatial, padding=None
     return offset_results
 
 
+def quantile(value: Tensor, quantiles, dims: DimFilter = None) -> Tensor:
+    """Quantiles of `value` over `dims` (default: all non-batch dims)
+    (reference API: phiml math.quantile)."""
+    value = wrap(value)
+    names = tuple(_resolve_filter(dims, value.shape)) if dims is not None else value.shape.non_batch.names
+    q_list = quantiles if isinstance(quantiles, (tuple, list)) else [quantiles]
+    keep = value.shape.without(names)
+    native = value.native(tuple(keep.names) + tuple(names))
+    flat = native.reshape(tuple(keep.sizes) + (-1,))
+    result = jnp.quantile(flat, jnp.asarray(q_list, flat.dtype), axis=-1)  # (q, *keep)
+    result = jnp.moveaxis(result, 0, -1)
+    from ._shape import Dim, concat_shapes as _concat
+    out_shape = _concat(keep, Shape((Dim('quantiles', len(q_list), 'channel', None),)))
+    out = Tensor(result, out_shape)
+    if not isinstance(quantiles, (tuple, list)):
+        out = out[{'quantiles': 0}]
+    return out
+
+
+def median(value: Tensor, dims: DimFilter = None) -> Tensor:
+    """Median over `dims` (reference API: phiml math.median)."""
+    return quantile(value, 0.5, dims)
+
+
+def histogram(values: Tensor, bins=20, weights=None, same_bins: DimFilter = None):
+    """Histogram of `values` (reference API: phiml math.histogram).
+    Returns (counts, bin_edges) with counts over a spatial 'bins' dim."""
+    values = wrap(values)
+    native = values.native().reshape(-1)
+    if isinstance(bins, int):
+        lo = jnp.min(native)
+        hi = jnp.max(native)
+        edges = jnp.linspace(lo, hi, bins + 1)
+    else:
+        edges = jnp.asarray(bins if not isinstance(bins, Tensor) else bins.native())
+    w = None if weights is None else wrap(weights).native().reshape(-1)
+    counts, edges_out = jnp.histogram(native, bins=edges, weights=w)
+    n_bins = counts.shape[0]
+    return (Tensor(counts, spatial(bins=n_bins)),
+            Tensor(edges_out, spatial(bins=n_bins + 1)))
+
+
 def neighbor_mean(grid: Tensor, dims: DimFilter = spatial, padding=None) -> Tensor:
     """Mean of adjacent values along `dims` (reference: phiml neighbor_mean,
     used by the 3D curl path phi/field/_field_math.py:703-708). With

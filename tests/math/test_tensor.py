@@ -112,3 +112,26 @@ def test_sample_subgrid():
     sub = sample_subgrid(g, wrap([0.5, 1.0], channel(vector=['x', 'y'])), spatial(x=3, y=3))
     expected = (np.arange(20).reshape(4, 5)[:3, 1:4] + np.arange(20).reshape(4, 5)[1:4, 1:4]) / 2
     np.testing.assert_allclose(np.asarray(sub.native(('x', 'y'))), expected)
+
+
+def test_quantile_median():
+    import numpy as np
+    from phiflow_tpu.math import wrap, spatial, batch
+    import phiflow_tpu.math as math
+    from phiflow_tpu.math._ops import quantile, median
+    data = np.arange(101, dtype=np.float32)
+    t = wrap(data, spatial('x'))
+    assert abs(float(median(t).native()) - 50.0) < 1e-5
+    q = quantile(t, [0.25, 0.75])
+    np.testing.assert_allclose(np.asarray(q.native()), [25., 75.], atol=1e-4)
+
+
+def test_histogram():
+    import numpy as np
+    from phiflow_tpu.math import wrap, instance
+    from phiflow_tpu.math._ops import histogram
+    rng = np.random.default_rng(0)
+    t = wrap(rng.uniform(0, 1, 1000).astype(np.float32), instance('samples'))
+    counts, edges = histogram(t, bins=10)
+    assert counts.shape.get_size('bins') == 10
+    assert int(np.asarray(counts.native()).sum()) == 1000
