@@ -5,7 +5,6 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from phiflow_tpu.ops.stencil import laplacian_2d_xla
 
 
 def _pallas_interpret_laplacian(x, dx2=1.0, periodic=True):
@@ -35,23 +34,33 @@ def _pallas_interpret_laplacian(x, dx2=1.0, periodic=True):
     )(xp)
 
 
+def _roll_laplacian(x, dx2=1.0, periodic=True):
+    if periodic:
+        up, down = jnp.roll(x, -1, 0), jnp.roll(x, 1, 0)
+        left, right = jnp.roll(x, 1, 1), jnp.roll(x, -1, 1)
+    else:
+        xp = jnp.pad(x, 1, mode='edge')
+        up, down = xp[2:, 1:-1], xp[:-2, 1:-1]
+        left, right = xp[1:-1, :-2], xp[1:-1, 2:]
+    return (up + down + left + right - 4 * x) / dx2
+
+
 @pytest.mark.parametrize('periodic', [True, False])
 def test_laplacian_kernel_matches_xla(periodic):
     x = jnp.asarray(np.random.randn(32, 64).astype(np.float32))
-    expected = laplacian_2d_xla(x, 0.25, periodic)
+    expected = _roll_laplacian(x, 0.25, periodic)
     got = _pallas_interpret_laplacian(x, 0.25, periodic)
     assert np.allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
 
 
-def test_laplacian_dispatch_cpu_fallback():
-    from phiflow_tpu.ops import laplacian_2d, use_pallas
-    assert not use_pallas()  # tests run on CPU
-    x = jnp.asarray(np.random.randn(16, 16).astype(np.float32))
-    out = laplacian_2d(x, 1.0, True)
-    assert np.allclose(np.asarray(out), np.asarray(laplacian_2d_xla(x, 1.0, True)), atol=1e-6)
-    # differentiable
-    g = jax.grad(lambda y: jnp.sum(laplacian_2d(y, 1.0, True) ** 2))(x)
-    assert np.all(np.isfinite(np.asarray(g)))
+def test_poisson_apply_matches_naive():
+    """The fused masked-Poisson stencil (ops.poisson — the REAL CG matvec
+    kernel) against a naive roll formulation."""
+    from phiflow_tpu.ops import poisson_apply
+    x = jnp.asarray(np.random.randn(16, 32).astype(np.float32))
+    out = poisson_apply(x, (1.0, 1.0), (('periodic', 'periodic'),) * 2, use_pallas=False)
+    expected = _roll_laplacian(x, 1.0, True)
+    assert np.allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
 
 
 def test_window_interp_3d_matches_fori():
