@@ -134,6 +134,28 @@ def run_kolmogorov(resolution: int = 512, steps: int = 10, warmup: int = 2, orde
             'cells_per_sec': resolution ** 2 / per_step}
 
 
+def run_flip(resolution: int = 128, steps: int = 10, warmup: int = 2):
+    """Flagship config #5 (BASELINE.md): FLIP liquid — P2G scatter + active-mask
+    pressure CG + G2P gather + RK4 particle advection."""
+    jax = _setup_jax()
+    import numpy as np
+    from phiflow_tpu.models import FlipLiquid
+    model = FlipLiquid(resolution=resolution, points_per_cell=4)
+    (particles,) = model.initial_state()
+    n_particles = particles.geometry.center.shape.instance.volume
+    step = jax.jit(model.step)
+    for _ in range(max(warmup, 2)):
+        (particles,) = step(particles)
+    _hard_sync(particles.geometry.center)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        (particles,) = step(particles)
+    _hard_sync(particles.geometry.center)
+    per_step = (time.perf_counter() - t0) / steps
+    return {'resolution': resolution, 'n_particles': int(n_particles),
+            'per_step_ms': per_step * 1000}
+
+
 def main():
     jax = _setup_jax()
     results = {}
@@ -145,6 +167,13 @@ def main():
         sys.stderr.write(f"kolmogorov 512^2 order-6: {kolmogorov['per_step_ms']:.1f} ms/step\n")
     except Exception as exc:
         sys.stderr.write(f"kolmogorov bench failed: {type(exc).__name__}: {exc}\n")
+    flip = None
+    try:
+        flip = run_flip(128)
+        sys.stderr.write(f"flip 128^2 ({flip['n_particles']} particles): "
+                         f"{flip['per_step_ms']:.1f} ms/step\n")
+    except Exception as exc:
+        sys.stderr.write(f"flip bench failed: {type(exc).__name__}: {exc}\n")
     for res in (64, 128, 256, 512):
         try:
             # phases off at 512³: the extra per-phase buffers don't fit HBM
@@ -181,6 +210,8 @@ def main():
                    for k, val in results.items()},
         'kolmogorov_512^2_order6': ({'per_step_ms': round(kolmogorov['per_step_ms'], 2)}
                                     if kolmogorov else None),
+        'flip_128^2': ({'per_step_ms': round(flip['per_step_ms'], 2),
+                        'n_particles': flip['n_particles']} if flip else None),
         'device': str(jax.devices()[0]),
     }))
 
