@@ -8,7 +8,8 @@ from ..math import _ops as ops
 from ..math._ops import cross, cross_product  # re-export
 
 __all__ = ['cross', 'cross_product', 'clip_length', 'normal_from_slope', 'plane_sgn_dist',
-           'closest_on_triangle', 'closest_points_on_lines', 'distance_line_point', 'orthogonal_vector']
+           'closest_on_triangle', 'closest_points_on_lines', 'distance_line_point', 'orthogonal_vector',
+           'closest_on_plane', 'closest_on_line', 'closest_normal_vector', 'solve2x2', 'farthest_points']
 
 
 def clip_length(vec: Tensor, min_len=0., max_len=1., vec_dim='vector', eps=1e-5) -> Tensor:
@@ -126,3 +127,54 @@ def closest_points_on_lines(p1: Tensor, d1: Tensor, p2: Tensor, d2: Tensor, eps=
         t1 = ops.where(parallel, ops.zeros_like(t1), t1)
         t2 = ops.where(parallel, ops.safe_div(f, c), t2)
     return p1 + t1 * d1, p2 + t2 * d2
+
+
+def closest_on_plane(plane_offset: Tensor, plane_normal: Tensor, point: Tensor) -> Tensor:
+    """Orthogonal projection of `point` onto the plane n·x = offset
+    (reference: _functions.py:144)."""
+    d = plane_sgn_dist(plane_offset, plane_normal, point)
+    n = ops.vec_normalize(plane_normal)
+    return point - d * n
+
+
+def closest_on_line(A: Tensor, B: Tensor, query: Tensor) -> Tensor:
+    """Closest point on the SEGMENT A→B to `query` (reference: _functions.py:194)."""
+    ab = B - A
+    t = ops.safe_div(ops.sum_((query - A) * ab, 'vector'), ops.sum_(ab * ab, 'vector'))
+    t = ops.clip(t, 0.0, 1.0)
+    return A + t * ab
+
+
+def closest_normal_vector(target: Tensor, normal: Tensor, is_normalized=False, eps=1e-10) -> Tensor:
+    """Unit vector orthogonal to `normal` closest in direction to `target`
+    (reference: _functions.py:226)."""
+    n = normal if is_normalized else ops.vec_normalize(normal)
+    tangential = target - ops.sum_(target * n, 'vector') * n
+    return ops.vec_normalize(tangential, eps=eps)
+
+
+def solve2x2(a, b, c, d, y1, y2):
+    """Closed-form solve of [[a, b], [c, d]]·x = (y1, y2)
+    (reference: _functions.py:409)."""
+    det = a * d - b * c
+    x1 = ops.safe_div(d * y1 - b * y2, det)
+    x2 = ops.safe_div(a * y2 - c * y1, det)
+    return x1, x2
+
+
+def farthest_points(points: Tensor, count: int, list_dim_name: str = None):
+    """Greedy farthest-point subsampling: indices of `count` points maximizing
+    pairwise spread (reference: _functions.py:416). Eager/static sizes."""
+    import jax.numpy as jnp
+    inst = points.shape.instance
+    list_dim = list_dim_name or inst.names[0]
+    pts = points.native((list_dim, 'vector'))
+    n = pts.shape[0]
+    chosen = [0]
+    dist = jnp.sum((pts - pts[0]) ** 2, -1)
+    for _ in range(count - 1):
+        nxt = int(jnp.argmax(dist))
+        chosen.append(nxt)
+        dist = jnp.minimum(dist, jnp.sum((pts - pts[nxt]) ** 2, -1))
+    from ..math import instance as instance_dim
+    return wrap(np.asarray(chosen, np.int32), instance_dim(selection=len(chosen)))

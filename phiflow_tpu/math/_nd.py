@@ -397,7 +397,8 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
     unit). When the displacement is bounded — |δ| ≤ `max_cells`, i.e. CFL ≤ K,
     which holds for every advection scheme that is numerically sane — the lookup
     is a *local* operation: interpolation = Σ_s w_s(δ) · shift(grid, s) over the
-    (2K+2)^d integer shifts s. Shifted windows are contiguous slices of the
+    (2K+1)^d integer shifts s ∈ [−K, K]^d (δ clamped to ±K: at δ = ±K the
+    outermost tap has weight 1, so the symmetric window is exact). Shifted windows are contiguous slices of the
     padded grid, so the whole operation lowers to fused elementwise FMA streams
     at HBM bandwidth (~30× faster than gather at 64³).
 
@@ -410,10 +411,10 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
     dims = ch.labels[0]
     d = len(dims)
     K = max_cells
-    W = 2 * K + 2  # shifts per axis: s ∈ [-K, K+1]
+    W = 2 * K + 1  # shifts per axis: s ∈ [-K, K] (symmetric window)
     big = jnp.asarray(3.4e38, jnp.float32)
     # pad the grid once on all interpolated axes
-    padded_t = extrap.pad(grid, {n: (K + 1, K + 1) for n in dims})
+    padded_t = extrap.pad(grid, {n: (K, K) for n in dims})
     if isinstance(padded_t, TensorStack):
         padded_t = padded_t._contiguous()
     out_shape = grid.shape
@@ -423,7 +424,7 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
     disps = []
     for n in dims:
         disp = displacement_cells[{ch.name: n}]
-        disps.append(jnp.clip(disp.native(out_order).astype(padded.dtype), -K, K + 1.0))
+        disps.append(jnp.clip(disp.native(out_order).astype(padded.dtype), -K, float(K)))
     axis_pos = [out_shape.index(n) for n in dims]
     out_sizes = tuple(out_shape.sizes)
     rank = len(out_sizes)
@@ -446,7 +447,7 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
             # ((2K+2)³ window terms). When every displacement fits its window
             # [−1, 2] the small kernel is EXACT, so select at runtime — typical
             # CFL<1 flows never pay for the wide window.
-            k1_ok = jnp.logical_and(jnp.min(disp_stack) >= -1.0, jnp.max(disp_stack) <= 2.0)
+            k1_ok = jnp.logical_and(jnp.min(disp_stack) >= -1.0, jnp.max(disp_stack) <= 1.0)
             crop = tuple(slice(K - 1, -(K - 1)) for _ in range(d))
 
             def k1(args):
@@ -479,7 +480,7 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
         for i in range(d):
             s = kk % W - K
             kk = kk // W
-            starts[axis_pos[i]] = K + 1 + s
+            starts[axis_pos[i]] = K + s
             ai = jnp.abs(disps[i] - s)
             wi = jnp.maximum(0.0, 1.0 - ai)  # hat function = exact linear-interp weight
             w = wi if w is None else w * wi

@@ -1116,7 +1116,6 @@ def pairwise_differences(positions: Tensor, max_distance=None, format='dense', m
         assert domain is not None and max_distance is not None, \
             "cell-list search requires `domain` and `max_distance`"
         from ._neighbors import cell_list_neighbors
-        from ._shape import Dim, DUAL, INSTANCE, CHANNEL
         labels = positions.shape.get_labels('vector')
         pos_n = positions.native((inst.names[0], 'vector'))
         lo = np.asarray(domain[0].native() if isinstance(domain[0], Tensor) else domain[0]).reshape(-1)
@@ -1126,9 +1125,10 @@ def pairwise_differences(positions: Tensor, max_distance=None, format='dense', m
         fill = jnp.nan if default is None else default
         deltas_n = jnp.where(mask_n[..., None], deltas_n, fill)
         M = idx.shape[1]
-        out_shape = Shape((Dim(inst.names[0], pos_n.shape[0], INSTANCE, None),
-                           Dim('~neighbors', M, DUAL, None),
-                           Dim('vector', len(labels), CHANNEL, tuple(labels))))
+        from ._shape import Dim as _Dim
+        out_shape = Shape((_Dim(inst.names[0], pos_n.shape[0], 'instance', None),
+                           _Dim('~neighbors', M, 'dual', None),
+                           _Dim('vector', len(labels), 'channel', tuple(labels))))
         return Tensor(deltas_n, out_shape)
     dual_dim = Shape((inst.dims[0].as_type(DUAL),))
     others = rename_dims(positions, inst, dual_dim)

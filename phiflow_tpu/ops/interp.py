@@ -19,11 +19,13 @@ Mosaic notes:
  * Interpolation weights are the hat function w(s) = max(0, 1 − |δ − s|) —
    exact linear-interp weights straight from the raw displacement, so the
    kernel needs ONE aux plane per axis instead of separate floor/frac planes.
- * The (2K+2)^d-shift loop is an in-kernel fori_loop (one body → Mosaic reuses
+ * The (2K+1)^d-shift loop is an in-kernel fori_loop (one body → Mosaic reuses
    the roll temporaries; unrolled versions exhaust the 16MB scoped VMEM).
 
-Inputs: padded grid (N+2C per axis, C=K+1) and disp (d, *N) float32 displacement
-in cells; disp is clamped to [−K, K+1] (window coverage bound).
+Inputs: padded grid (N+2C per axis, C=K) and disp (d, *N) float32 displacement
+in cells; disp is clamped to [−K, K]: the symmetric width-(2K+1) window — one
+column narrower than the naive [−K, K+1] formulation, since displacements at
+exactly ±K give the outermost tap weight 1 and the (K+1)-tap weight 0.
 """
 from __future__ import annotations
 
@@ -96,11 +98,11 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
     z keeps the circular halo layout. y-tiling is what keeps the per-step VMEM
     footprint under the 16MB scoped limit at 512³ (full 512×512 planes + DMA
     double-buffering overflow it)."""
-    C = K + 1
+    C = K
     X, Y0, Z0 = disp3.shape[1], disp3.shape[2], disp3.shape[3]
     Y = ((Y0 + 7) // 8) * 8
     Z = ((Z0 + 127) // 128) * 128
-    disp3 = jnp.clip(disp3, -float(K), float(K + 1))
+    disp3 = jnp.clip(disp3, -float(K), float(K))
     if (Y, Z) != (Y0, Z0):
         disp3 = jnp.pad(disp3, ((0, 0), (0, 0), (0, Y - Y0), (0, Z - Z0)))
         padded = jnp.pad(padded, ((0, 0), (0, 0 if Y == Y0 else Y - Y0), (0, 0 if Z == Z0 else Z - Z0)))
@@ -118,7 +120,7 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
     # tiles waste most of the roll bandwidth on halos, so we search all legal
     # (T, YT) pairs with a traffic model instead of greedily growing one axis.
     budget = (13 * 1024 * 1024) // 4  # f32 elems, with margin for Mosaic spills
-    W = 2 * K + 2
+    W = 2 * K + 1
 
     def vmem_elems(tile, yt):
         slab_b = (tile + 2 * C) * (yt + 2 * _Y_OFF) * Zs   # run_scoped slab
@@ -146,7 +148,7 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
     big = np.float32(3.4e38)
 
     _roll = _make_roll(interpret)
-    W = 2 * K + 2
+    W = 2 * K + 1
 
     def compute(slab, disp_ref, out_refs):
         dx_, dy_, dz_ = disp_ref[0], disp_ref[1], disp_ref[2]
@@ -241,11 +243,11 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
 def window_interp_2d(padded: jnp.ndarray, disp2: jnp.ndarray, K: int,
                      compute_extrema: bool = False, interpret: bool = False):
     """2D variant: both axes shifted via roll (x = sublane @8, y = lane @128)."""
-    C = K + 1
+    C = K
     X0, Y0 = disp2.shape[1], disp2.shape[2]
     X = ((X0 + 7) // 8) * 8
     Y = ((Y0 + 127) // 128) * 128
-    disp2 = jnp.clip(disp2, -float(K), float(K + 1))
+    disp2 = jnp.clip(disp2, -float(K), float(K))
     if (X, Y) != (X0, Y0):
         disp2 = jnp.pad(disp2, ((0, 0), (0, X - X0), (0, Y - Y0)))
         padded = jnp.pad(padded, ((0, X - X0), (0, Y - Y0)))
@@ -254,7 +256,7 @@ def window_interp_2d(padded: jnp.ndarray, disp2: jnp.ndarray, K: int,
 
     _roll = _make_roll(interpret)
 
-    W = 2 * K + 2
+    W = 2 * K + 1
 
     def kernel(slab_ref, disp_ref, *out_refs):
         s_full = slab_ref[:]

@@ -68,10 +68,10 @@ def test_window_interp_3d_matches_fori():
     from phiflow_tpu.ops.interp import window_interp_3d
     rng = np.random.default_rng(0)
     K = 2
-    C = K + 1
+    C = K  # symmetric window: taps s ∈ [-K, K], displacements within [-K, K]
     X = Y = Z = 16
     padded = jnp.asarray(rng.standard_normal((X + 2 * C, Y + 2 * C, Z + 2 * C)).astype(np.float32))
-    rel = jnp.asarray(rng.integers(-K, K + 1, (3, X, Y, Z)).astype(np.int32))
+    rel = jnp.asarray(rng.integers(-K, K, (3, X, Y, Z)).astype(np.int32))
     frac = jnp.asarray(rng.uniform(0.01, 0.99, (3, X, Y, Z)).astype(np.float32))
     disp = rel.astype(jnp.float32) + frac
     out, lo, up = window_interp_3d(padded, disp, K, compute_extrema=True, interpret=True)
@@ -101,10 +101,10 @@ def test_window_interp_2d_matches():
     from phiflow_tpu.ops.interp import window_interp_2d
     rng = np.random.default_rng(1)
     K = 2
-    C = K + 1
+    C = K  # symmetric window (see 3D test)
     X, Y = 16, 24
     padded = jnp.asarray(rng.standard_normal((X + 2 * C, Y + 2 * C)).astype(np.float32))
-    rel = jnp.asarray(rng.integers(-K, K + 1, (2, X, Y)).astype(np.int32))
+    rel = jnp.asarray(rng.integers(-K, K, (2, X, Y)).astype(np.int32))
     frac = jnp.asarray(rng.uniform(0.01, 0.99, (2, X, Y)).astype(np.float32))
     disp = rel.astype(jnp.float32) + frac
     out = window_interp_2d(padded, disp, K, interpret=True)
