@@ -13,7 +13,7 @@ from ..math import Tensor, wrap, spatial, channel, instance, stack
 from ..math import _ops as ops
 from ._spline import b_spline_knots, eval_nurbs_bases
 
-__all__ = ['BSplineSheet', 'SplineSolid']
+__all__ = ['BSplineSheet', 'SplineSolid', 'to_spline', 'double_cover']
 
 
 def _tensor_eval(control: np.ndarray, params, degrees):
@@ -137,3 +137,62 @@ class SplineSolid:
 
     def __repr__(self):
         return f"SplineSolid(control={self.control.shape[:-1]}, degrees={self.degrees})"
+
+
+def to_spline(geo, control_resolution=(4, 4, 4)) -> 'SplineSolid':
+    """Fit a SplineSolid to a primitive geometry (reference behavior:
+    phi/geom/_spline_solid.py to_spline:425 converts Cylinder/Box/Sphere into
+    spline-solid representations; this TPU-side variant builds a trivariate
+    control net whose evaluation reproduces the primitive's volume).
+
+    Supported: Box (exact trilinear net), Sphere and Cylinder (control net on
+    spherical/cylindrical shells, accurate to the control resolution)."""
+    from ._box import BaseBox
+    from ._sphere import Sphere
+    from ._cylinder import Cylinder
+    nu, nv, nw = control_resolution
+    if isinstance(geo, BaseBox):
+        lower = np.asarray(geo.lower.native()).reshape(-1)
+        upper = np.asarray(geo.upper.native()).reshape(-1)
+        assert len(lower) == 3, "to_spline requires 3D geometry"
+        us = np.linspace(0, 1, nu)
+        vs = np.linspace(0, 1, nv)
+        ws = np.linspace(0, 1, nw)
+        U, V, W = np.meshgrid(us, vs, ws, indexing='ij')
+        pts = lower + np.stack([U, V, W], -1) * (upper - lower)
+        return SplineSolid(pts.astype(np.float32), degrees=(1, 1, 1))
+    if isinstance(geo, Sphere):
+        center = np.asarray(geo.center.native()).reshape(-1)
+        radius = float(geo.radius)
+        assert len(center) == 3, "to_spline requires 3D geometry"
+        # (radial, polar, azimuthal) parameterization
+        r = np.linspace(0, 1, nu)[:, None, None]
+        theta = np.linspace(1e-3, np.pi - 1e-3, nv)[None, :, None]
+        phi = np.linspace(0, 2 * np.pi, nw)[None, None, :]
+        x = r * radius * np.sin(theta) * np.cos(phi)
+        y = r * radius * np.sin(theta) * np.sin(phi)
+        z = r * radius * np.cos(theta) * np.ones_like(phi)
+        pts = center + np.stack(np.broadcast_arrays(x, y, z), -1)
+        return SplineSolid(pts.astype(np.float32), degrees=(1, 2, 2))
+    if isinstance(geo, Cylinder):
+        center = np.asarray(geo.center.native()).reshape(-1)
+        radius = float(geo.radius)
+        depth = float(geo.depth)
+        r = np.linspace(0, 1, nu)[:, None, None]
+        phi = np.linspace(0, 2 * np.pi, nv)[None, :, None]
+        z = np.linspace(-depth / 2, depth / 2, nw)[None, None, :]
+        x = r * radius * np.cos(phi) * np.ones_like(z)
+        y = r * radius * np.sin(phi) * np.ones_like(z)
+        zz = np.ones_like(x) * z
+        pts = center + np.stack(np.broadcast_arrays(x, y, zz), -1)
+        return SplineSolid(pts.astype(np.float32), degrees=(1, 2, 1))
+    raise NotImplementedError(f"to_spline for {type(geo)}")
+
+
+def double_cover(sheet: 'BSplineSheet') -> 'BSplineSheet':
+    """Closed double-cover of an open sheet: traverse the surface forward then
+    backward along u (reference: phi/geom/_double_cover.py) so downstream
+    algorithms can treat the sheet as a watertight (degenerate) closed surface."""
+    c = sheet.control
+    doubled = np.concatenate([c, c[::-1]], axis=0)
+    return BSplineSheet(doubled, sheet.degrees)

@@ -74,3 +74,28 @@ def test_spline_solid_cube():
     assert abs(solid.volume(12) - 1.0) < 0.05
     sheets = solid.to_sheets()
     assert len(sheets) == 6
+
+
+def test_to_spline_box_exact():
+    import numpy as np
+    from phiflow_tpu.geom import Box, to_spline
+    ss = to_spline(Box(x=2., y=1., z=1.))
+    assert abs(ss.volume(12) - 2.0) < 1e-3
+
+
+def test_to_spline_sphere_approximate():
+    import numpy as np
+    from phiflow_tpu.geom import Sphere, to_spline
+    sp = to_spline(Sphere(x=0., y=0., z=0., radius=1.), control_resolution=(8, 20, 30))
+    exact = 4 / 3 * np.pi
+    assert abs(sp.volume(20) - exact) / exact < 0.25  # control-net approximation
+
+
+def test_double_cover_closes_sheet():
+    import numpy as np
+    from phiflow_tpu.geom import BSplineSheet, double_cover
+    sheet = BSplineSheet(np.random.default_rng(0).standard_normal((4, 4, 3)).astype(np.float32))
+    dc = double_cover(sheet)
+    assert dc.control.shape[0] == 8
+    # forward and backward covers share the end control rows
+    np.testing.assert_allclose(dc.control[3], dc.control[4])
