@@ -113,3 +113,22 @@ def test_minimize_lbfgs():
             return (1 - a) ** 2 + 100 * (b - a ** 2) ** 2
         x = minimize(rosen, Solve('L-BFGS-B', abs_tol=1e-10, x0=x0, max_iterations=200))
     np.testing.assert_allclose(np.asarray(x.native()), [1., 1.], atol=1e-5)
+
+
+def test_solve_tape_runtime_stats():
+    """record_runtime=True delivers concrete iteration counts under jit via
+    host callback (CPU path; the axon TPU uses Solve(implicit_diff=False))."""
+    import jax
+    from phiflow_tpu.math import SolveTape
+
+    tape = SolveTape(record_runtime=True)
+    with tape:
+        @jax.jit
+        def solve_it(rhs):
+            return math.solve_linear(_neg_lap_dirichlet, rhs, Solve('CG', 1e-6, 1e-6))
+        x = solve_it(math.random_normal(spatial(x=16)))
+        import numpy as np
+        np.asarray(x.native())  # sync → callbacks flushed
+    stats = tape.solve_infos[-1].runtime_stats
+    assert stats.get('iterations', 0) > 0
+    assert 'residual_norm' in stats
