@@ -37,6 +37,8 @@ def plot(*fields, lib=None, row_dims=None, col_dims=None, animate=None, overlay=
     for f in fields:
         if isinstance(f, dict):
             items.extend(f.items())
+        elif isinstance(f, tuple) and len(f) == 2 and f[0] == '__overlay__':
+            items.append((None, f))  # overlay marker: all fields share one axis
         elif isinstance(f, (tuple, list)):
             items.extend((None, x) for x in f)
         else:
@@ -51,7 +53,11 @@ def plot(*fields, lib=None, row_dims=None, col_dims=None, animate=None, overlay=
         return _animate(lib, figure, axes, items, cols, animate, **kwargs)
     for i, (name, data) in enumerate(items):
         axis = axes[(i // cols, i % cols)]
-        lib.plot(data, figure, axis, None, **kwargs)
+        if isinstance(data, tuple) and len(data) == 2 and data[0] == '__overlay__':
+            for layer in data[1]:  # reference: phi/vis/_vis.py overlay:449
+                lib.plot(layer, figure, axis, None, **kwargs)
+        else:
+            lib.plot(data, figure, axis, None, **kwargs)
         if name:
             axis.set_title(display_name(name))
         elif title:
@@ -62,6 +68,8 @@ def plot(*fields, lib=None, row_dims=None, col_dims=None, animate=None, overlay=
 
 def _needs_3d_axis(data) -> bool:
     from ..geom._heightmap import Heightmap
+    if isinstance(data, tuple) and len(data) == 2 and data[0] == '__overlay__':
+        return any(_needs_3d_axis(layer) for layer in data[1])
     if isinstance(data, Field):
         return data.spatial_rank == 3
     if isinstance(data, Heightmap):

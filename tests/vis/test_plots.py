@@ -143,3 +143,13 @@ def test_show_hist():
     from phiflow_tpu.vis import show_hist
     t = wrap(np.random.randn(100).astype(np.float32), instance('samples'))
     assert show_hist(t) is not None
+
+
+def test_plot_overlay():
+    """overlay() renders multiple fields into one axis (reference:
+    phi/vis/_vis.py:449)."""
+    from phiflow_tpu.vis import overlay
+    g = CenteredGrid(Noise(), extrapolation.PERIODIC, x=16, y=16)
+    geo = Sphere(x=8, y=8, radius=3)
+    fig = plot(overlay(g, geo))
+    assert fig is not None
