@@ -165,8 +165,10 @@ def _warn_if_clamped(displacement: Tensor, field: Field, max_cells: int, caller:
     if any(isinstance(n, jax.core.Tracer) for n in natives):
         return
     import numpy as np
+    import jax.numpy as jnp
     dx_min = float(np.min(np.asarray(field.dx.native(field.dx.shape.names))))
-    max_disp = max(float(np.max(np.abs(np.asarray(n)))) for n in natives)
+    # reduce ON DEVICE; only the scalar maxima cross the host boundary
+    max_disp = max(float(jnp.max(jnp.abs(n))) for n in natives)
     if max_disp > max_cells * dx_min:
         import warnings
         warnings.warn(
