@@ -68,3 +68,43 @@ div_e = float(math.max(abs(divergence(v2e).values)))
 print(f"N={N}^2, mesh {dict(mesh.shape)}:")
 print(f"  GSPMD (y-sharded)        : {t_gspmd:8.2f} ms/projection")
 print(f"  shard_map (x+y sharded)  : {t_explicit:8.2f} ms/projection  (max|div| {div_e:.2e})")
+
+# --- full smoke STEP: GSPMD library composition vs one shard_map region ---
+from phiflow_tpu.field import CenteredGrid, resample
+from phiflow_tpu.physics import advect
+from phiflow_tpu.parallel._shardmap import make_sharded_smoke_step
+
+dt, buoy = 0.5, 0.1
+smoke = CenteredGrid(Noise(), extrapolation.BOUNDARY, x=N, y=N, bounds=Box(x=1., y=1.))
+smoke_gspmd = shard_field(smoke, mesh, {'y': 'y'})
+
+
+@jax.jit
+def step_gspmd(v_, s_):
+    s2 = advect.semi_lagrangian(s_, v_, dt, max_cells=2)
+    b = resample(s2 * (0., buoy), to=v_)
+    v2 = advect.semi_lagrangian(v_, v_, dt, max_cells=2) + b * dt
+    v3, p = fluid.make_incompressible(v2, (), Solve('CG', 1e-5, 1e-5,
+                                                    suppress=(ConvergenceException,)))
+    return v3, s2
+
+
+step_explicit = make_sharded_smoke_step(mesh, {'x': 'x', 'y': 'y'}, v, smoke, dt, (0., buoy),
+                                        rel_tol=1e-5, abs_tol=1e-5, max_iterations=1000)
+
+
+def timeit2(fn, a, b, reps=5):
+    out = fn(a, b)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(a, b)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+    return (time.perf_counter() - t0) / reps * 1000
+
+
+with mesh:
+    t_step_gspmd = timeit2(step_gspmd, v_gspmd, smoke_gspmd)
+t_step_explicit = timeit2(lambda a, b: step_explicit(a, b)[:2], v, smoke)
+print(f"  GSPMD full step          : {t_step_gspmd:8.2f} ms/step")
+print(f"  shard_map full step      : {t_step_explicit:8.2f} ms/step")

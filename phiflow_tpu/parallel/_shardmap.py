@@ -29,7 +29,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ._halo import AxisSpec, halo_exchange
 
-__all__ = ['uniform_staggered', 'staggered_from_uniform', 'make_sharded_projection']
+__all__ = ['uniform_staggered', 'staggered_from_uniform', 'make_sharded_projection',
+           'make_sharded_smoke_step']
 
 
 def _classify_velocity_axis(field, dim: str):
@@ -97,15 +98,13 @@ def _mean_psum(x, spatial_axis_names, global_count):
     return total / global_count
 
 
-def make_sharded_projection(mesh: Mesh, axes: Dict[str, str], template,
-                            rel_tol: float = 1e-5, abs_tol: float = 1e-5,
-                            max_iterations: int = 1000):
-    """Build a jitted sharded pressure projection for staggered fields like
-    `template` (periodic or constant normal boundaries, no batch dims).
-
-    mesh: device mesh; axes: spatial dim name → mesh axis name (dims absent
-    from `axes` stay replicated). Returns `project(field) -> (field, pressure)`.
-    """
+def _make_kit(mesh: Mesh, axes: Dict[str, str], template,
+              rel_tol: float = 1e-5, abs_tol: float = 1e-5,
+              max_iterations: int = 1000):
+    """Assemble the shared machinery of the explicit shard_map solvers: BC
+    classification, halo specs, the halo-aware laplacian, psum'd MG-CG, and the
+    projection body. Returned as a namespace consumed by the public factories
+    (`make_sharded_projection`, `make_sharded_smoke_step`)."""
     dims = tuple(template.resolution.names)
     ndim = len(dims)
     assert not template.values.shape.batch, "batch dims not supported on the explicit path yet"
@@ -290,10 +289,30 @@ def make_sharded_projection(mesh: Mesh, axes: Dict[str, str], template,
             out.append(u_new)
         return tuple(out) + (p, iters)
 
-    in_spec = PartitionSpec(*[mesh_axis[d] for d in dims])
-    specs_in = tuple(in_spec for _ in dims)
-    specs_out = specs_in + (in_spec, PartitionSpec())
-    sharded = jax.shard_map(project_blocks, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
+    from types import SimpleNamespace
+    return SimpleNamespace(
+        dims=dims, ndim=ndim, res=res, dx=dx, inv_dx=inv_dx, inv_dx2=inv_dx2,
+        vel_bc=vel_bc, p_bc=p_bc, mesh_axis=mesh_axis, n_shards=n_shards,
+        spatial_axis_names=spatial_axis_names, n_cells=n_cells,
+        specs_for=specs_for, p_specs=p_specs, laplace_block=laplace_block,
+        psum_dot=psum_dot, cg=cg, vcycle=vcycle, project_blocks=project_blocks,
+        in_spec=PartitionSpec(*[mesh_axis[d] for d in dims]))
+
+
+def make_sharded_projection(mesh: Mesh, axes: Dict[str, str], template,
+                            rel_tol: float = 1e-5, abs_tol: float = 1e-5,
+                            max_iterations: int = 1000):
+    """Build a jitted sharded pressure projection for staggered fields like
+    `template` (periodic or constant normal boundaries, no batch dims).
+
+    mesh: device mesh; axes: spatial dim name → mesh axis name (dims absent
+    from `axes` stay replicated). Returns `project(field) -> (field, pressure)`.
+    """
+    kit = _make_kit(mesh, axes, template, rel_tol, abs_tol, max_iterations)
+    dims, ndim, res = kit.dims, kit.ndim, kit.res
+    specs_in = tuple(kit.in_spec for _ in dims)
+    specs_out = specs_in + (kit.in_spec, PartitionSpec())
+    sharded = jax.shard_map(kit.project_blocks, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
                             check_vma=False)
 
     def project(field):
@@ -304,7 +323,6 @@ def make_sharded_projection(mesh: Mesh, axes: Dict[str, str], template,
         v_out = staggered_from_uniform(new_arrays, template)  # template: concrete boundary metadata
         from ..math import Tensor, spatial
         from ..field import Field
-        from .. import math as _math
         p_field = Field(field.geometry, Tensor(p_global, spatial(**dict(zip(dims, res)))),
                         _pressure_ext(template))
         return v_out, p_field
@@ -315,3 +333,175 @@ def make_sharded_projection(mesh: Mesh, axes: Dict[str, str], template,
 def _pressure_ext(template):
     from ..physics.fluid import _pressure_extrapolation
     return _pressure_extrapolation(template.boundary)
+
+
+def _classify_scalar_axis(field, dim: str):
+    """(mode_lo, mode_hi) halo fills for a CENTERED scalar field:
+    'periodic' | 'neumann' (zero-gradient) | ('value', c)."""
+    from ..field._stencil1d import classify_side
+    out = []
+    for upper in (False, True):
+        side = classify_side(field.boundary, dim, upper)
+        if side == 'periodic':
+            out.append('periodic')
+        elif side == 'zero-gradient':
+            out.append('neumann')
+        elif isinstance(side, tuple) and side[0] == 'dirichlet':
+            out.append(('value', side[1]))
+        else:
+            raise ValueError(f"unsupported scalar boundary along {dim}: {field.boundary}")
+    return tuple(out)
+
+
+def _window_interp_local(padded, disps, K: int, ndim: int):
+    """(2K+1)^d window-shift interpolation on a halo-padded local block.
+    `padded` is the block grown by K on every axis; `disps` is a list of
+    per-axis displacement arrays (cell units, clamped to ±K) on the interior."""
+    import itertools
+    blk_shape = disps[0].shape
+    out = jnp.zeros(blk_shape, padded.dtype)
+    for shifts in itertools.product(range(-K, K + 1), repeat=ndim):
+        w = None
+        idx = []
+        for i, s in enumerate(shifts):
+            wi = jnp.maximum(0.0, 1.0 - jnp.abs(disps[i] - s))
+            w = wi if w is None else w * wi
+            idx.append(slice(K + s, K + s + blk_shape[i]))
+        out = out + padded[tuple(idx)] * w
+    return out
+
+
+def make_sharded_smoke_step(mesh: Mesh, axes: Dict[str, str], v_template, s_template,
+                            dt: float, buoyancy: Sequence[float],
+                            inflow_center: Sequence[float] = None, inflow_radius: float = None,
+                            inflow_rate: float = 0., max_cells: int = 2,
+                            rel_tol: float = 1e-3, abs_tol: float = 0., max_iterations: int = 100):
+    """The ENTIRE buoyant-smoke step as one shard_map region: semi-Lagrangian
+    smoke + velocity advection with ppermute window halos, buoyancy source,
+    soft inflow, and the MG-CG pressure projection — all collectives on the
+    mesh, the staggered velocity decomposed along every spatial dim.
+
+    This is the full-step counterpart of `make_sharded_projection` (SURVEY.md
+    §2.7 / §7 step 7: collective-aware kernels over the ICI mesh — the layer
+    the reference does not have). Returns a jitted
+    `step(velocity, smoke) -> (velocity, smoke, pressure)` on Fields.
+    """
+    kit = _make_kit(mesh, axes, v_template, rel_tol=rel_tol, abs_tol=abs_tol or 1e-30,
+                    max_iterations=max_iterations)
+    dims, ndim, res = kit.dims, kit.ndim, kit.res
+    dx = kit.dx
+    K = max_cells
+    s_bc = {d: _classify_scalar_axis(s_template, d) for d in dims}
+    s_specs = [AxisSpec(i, kit.mesh_axis[d] or f'_none_{d}', kit.n_shards[d],
+                        s_bc[d][0], s_bc[d][1]) for i, d in enumerate(dims)]
+    # halo fill for velocity component arrays: periodic wrap or the wall value
+    comp_specs = []
+    for i, d in enumerate(dims):
+        per_axis = []
+        for j, dj in enumerate(dims):
+            bc_lo, bc_hi = kit.vel_bc[dj]
+            if bc_lo == 'periodic':
+                per_axis.append(AxisSpec(j, kit.mesh_axis[dj] or f'_none_{dj}', kit.n_shards[dj]))
+            else:
+                # constant-velocity wall: ghost faces hold the wall value of comp d
+                val_lo = bc_lo[1] if dj == d else bc_lo[1]
+                per_axis.append(AxisSpec(j, kit.mesh_axis[dj] or f'_none_{dj}', kit.n_shards[dj],
+                                         ('value', float(val_lo)), ('value', float(kit.vel_bc[dj][1][1]))))
+        comp_specs.append(per_axis)
+    buoyancy = tuple(float(b) for b in buoyancy)
+    grav_axes = [i for i, b in enumerate(buoyancy) if b != 0.0]
+    block_sizes = tuple(res[i] // kit.n_shards[dims[i]] for i in range(ndim))
+    dx_min = min(dx)
+
+    def _block_offset(i):
+        d = dims[i]
+        if kit.mesh_axis[d]:
+            return lax.axis_index(kit.mesh_axis[d]) * block_sizes[i]
+        return jnp.asarray(0, jnp.int32)
+
+    def _global_coord(i, blk_shape):
+        return (_block_offset(i) + jax.lax.broadcasted_iota(jnp.int32, blk_shape, i)).astype(jnp.float32)
+
+    def step_blocks(smoke, *u_blocks):
+        blk = smoke.shape
+        # --- velocity at cell centers: 0.5·(lower + upper face) per axis ---
+        v_center = []
+        for i, d in enumerate(dims):
+            uh = halo_exchange(u_blocks[i], [comp_specs[i][i]], width=1)
+            sl_lo = [slice(1, -1) if j == i else slice(None) for j in range(ndim)]
+            sl_hi = [slice(2, None) if j == i else slice(None) for j in range(ndim)]
+            v_center.append(0.5 * (uh[tuple(sl_lo)] + uh[tuple(sl_hi)]))
+        # --- smoke advection (semi-Lagrangian, window K) ---
+        disps = [jnp.clip(-dt * v_center[i] / np.float32(dx[i]), -K, K) for i in range(ndim)]
+        s_pad = halo_exchange(smoke, s_specs, width=K)
+        smoke_adv = _window_interp_local(s_pad, disps, K, ndim)
+        # --- soft inflow (global coordinates) ---
+        if inflow_rate and inflow_center is not None:
+            d2 = None
+            for i in range(ndim):
+                c = (_global_coord(i, blk) + 0.5) * np.float32(dx[i]) - np.float32(inflow_center[i])
+                d2 = c * c if d2 is None else d2 + c * c
+            frac = jnp.clip(0.5 + (np.float32(inflow_radius) - jnp.sqrt(d2)) / np.float32(dx_min), 0., 1.)
+            smoke_adv = smoke_adv + np.float32(inflow_rate) * frac
+        # --- velocity self-advection per component ---
+        new_u = []
+        for i, d in enumerate(dims):
+            u = u_blocks[i]
+            # full velocity vector at comp-i face positions
+            face_disps = []
+            for e in range(ndim):
+                if e == i:
+                    ve = u
+                else:
+                    # 4-point average: cells (c−1_i, c) × faces (c, c+1_e)
+                    uh = halo_exchange(u_blocks[e], [comp_specs[e][i], comp_specs[e][e]], width=1)
+                    sl = lambda di, de: tuple(
+                        slice(1 + di, (-1 + di) or None) if j == i else
+                        (slice(1 + de, (-1 + de) or None) if j == e else slice(None))
+                        for j in range(ndim))
+                    ve = 0.25 * (uh[sl(-1, 0)] + uh[sl(-1, 1)] + uh[sl(0, 0)] + uh[sl(0, 1)])
+                face_disps.append(jnp.clip(-dt * ve / np.float32(dx[e]), -K, K))
+            u_pad = halo_exchange(u, comp_specs[i], width=K)
+            u_adv = _window_interp_local(u_pad, face_disps, K, ndim)
+            new_u.append(u_adv)
+        # --- buoyancy on gravity-axis faces: average of adjacent smoke ---
+        for g in grav_axes:
+            sh = halo_exchange(smoke_adv, [s_specs[g]], width=1)
+            sl_lo = [slice(0, -2) if j == g else slice(None) for j in range(ndim)]
+            sl_ce = [slice(1, -1) if j == g else slice(None) for j in range(ndim)]
+            buoy = 0.5 * (sh[tuple(sl_lo)] + sh[tuple(sl_ce)])
+            new_u[g] = new_u[g] + np.float32(dt * buoyancy[g]) * buoy
+        # --- re-pin wall faces to the boundary constant (slot 0 along own axis) ---
+        for i, d in enumerate(dims):
+            bc_lo, _ = kit.vel_bc[d]
+            if bc_lo != 'periodic':
+                gidx = _block_offset(i) + jax.lax.broadcasted_iota(jnp.int32, blk, i)
+                new_u[i] = jnp.where(gidx == 0, np.float32(bc_lo[1]), new_u[i])
+        # --- pressure projection (kit) ---
+        results = kit.project_blocks(*new_u)
+        proj_u = results[:ndim]
+        p, iters = results[ndim], results[ndim + 1]
+        return (smoke_adv,) + tuple(proj_u) + (p, iters)
+
+    in_spec = kit.in_spec
+    specs_in = (in_spec,) + tuple(in_spec for _ in dims)
+    specs_out = (in_spec,) + tuple(in_spec for _ in dims) + (in_spec, PartitionSpec())
+    sharded = jax.shard_map(step_blocks, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
+                            check_vma=False)
+
+    def step(velocity, smoke):
+        arrays = uniform_staggered(velocity, template=v_template)
+        s_arr = smoke.values.native(dims)
+        results = sharded(s_arr, *[arrays[d] for d in dims])
+        smoke_new = results[0]
+        new_arrays = {d: results[1 + i] for i, d in enumerate(dims)}
+        p_global = results[1 + ndim]
+        from ..math import Tensor, spatial
+        from ..field import Field
+        v_out = staggered_from_uniform(new_arrays, v_template)
+        s_out = smoke.with_values(Tensor(smoke_new, spatial(**dict(zip(dims, res)))))
+        p_field = Field(smoke.geometry, Tensor(p_global, spatial(**dict(zip(dims, res)))),
+                        _pressure_ext(v_template))
+        return v_out, s_out, p_field
+
+    return jax.jit(step)

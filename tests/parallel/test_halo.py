@@ -96,3 +96,41 @@ def test_sharded_projection_is_divergence_free_3d():
                                           rel_tol=1e-10, abs_tol=1e-10)
         v2, p = project(v)
         assert float(math.max(abs(divergence(v2).values))) < 1e-6
+
+
+@pytest.mark.parametrize('ext', ['zero', 'periodic'])
+def test_sharded_full_step_matches_single(ext):
+    """The ENTIRE smoke step inside one shard_map (advection + buoyancy +
+    projection, x AND y sharded) vs the same algorithm composed from library
+    ops on a single device."""
+    from phiflow_tpu.math import ConvergenceException
+    from phiflow_tpu.field import CenteredGrid, resample
+    from phiflow_tpu.physics import advect, fluid
+    from phiflow_tpu.parallel._shardmap import make_sharded_smoke_step
+
+    with math.precision(64):
+        n = 32
+        e = extrapolation.ZERO if ext == 'zero' else extrapolation.PERIODIC
+        se = extrapolation.BOUNDARY if ext == 'zero' else extrapolation.PERIODIC
+        bounds = Box(x=float(n), y=float(n))
+        v = StaggeredGrid(Noise(vector='x,y'), e, x=n, y=n, bounds=bounds) * 0.5
+        s = CenteredGrid(Noise(), se, x=n, y=n, bounds=bounds)
+        dt, buoy = 0.7, 0.1
+
+        def reference_step(v_, s_):
+            s2 = advect.semi_lagrangian(s_, v_, dt, max_cells=2)
+            b = resample(s2 * (0., buoy), to=v_)
+            v2 = advect.semi_lagrangian(v_, v_, dt, max_cells=2) + b * dt
+            v3, p = fluid.make_incompressible(v2, (), Solve('CG', 1e-10, 1e-10,
+                                                            suppress=(ConvergenceException,)))
+            return v3, s2, p
+
+        v_ref, s_ref, p_ref = reference_step(v, s)
+        mesh = _mesh2d()
+        step = make_sharded_smoke_step(mesh, {'x': 'x', 'y': 'y'}, v, s, dt, (0., buoy),
+                                       rel_tol=1e-10, abs_tol=1e-10, max_iterations=3000)
+        v_sh, s_sh, p_sh = step(v, s)
+        np.testing.assert_allclose(np.asarray(s_sh.values.native(('x', 'y'))),
+                                   np.asarray(s_ref.values.native(('x', 'y'))), atol=1e-5)
+        for c1, c2 in zip(math.unstack(v_ref.values, '~vector'), math.unstack(v_sh.values, '~vector')):
+            math.assert_close(c1, c2, abs_tolerance=1e-5)
