@@ -134,3 +134,21 @@ def test_sharded_full_step_matches_single(ext):
                                    np.asarray(s_ref.values.native(('x', 'y'))), atol=1e-5)
         for c1, c2 in zip(math.unstack(v_ref.values, '~vector'), math.unstack(v_sh.values, '~vector')):
             math.assert_close(c1, c2, abs_tolerance=1e-5)
+
+
+def test_sharded_full_step_3d():
+    """3D full sharded step on a 2×2×2 mesh (x, y, z all decomposed)."""
+    from phiflow_tpu.field import CenteredGrid, divergence
+    from phiflow_tpu.parallel._shardmap import make_sharded_smoke_step
+    n = 16
+    bounds = Box(x=float(n), y=float(n), z=float(n))
+    v = StaggeredGrid(Noise(vector='x,y,z'), extrapolation.ZERO, x=n, y=n, z=n, bounds=bounds) * 0.1
+    s = CenteredGrid(Noise(), extrapolation.BOUNDARY, x=n, y=n, z=n, bounds=bounds)
+    mesh = create_mesh({'x': 2, 'y': 2, 'z': 2}, jax.devices()[:8])
+    step = make_sharded_smoke_step(mesh, {'x': 'x', 'y': 'y', 'z': 'z'}, v, s,
+                                   dt=0.5, buoyancy=(0., 0., 0.1),
+                                   rel_tol=1e-6, abs_tol=1e-6, max_iterations=2000)
+    v2, s2, p = step(v, s)
+    assert float(math.max(abs(divergence(v2).values))) < 1e-3
+    for c in math.unstack(v2.values, '~vector'):
+        assert np.isfinite(np.asarray(c.native())).all()
