@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from ._halo import AxisSpec, halo_exchange
 
 __all__ = ['uniform_staggered', 'staggered_from_uniform', 'make_sharded_projection',
-           'make_sharded_smoke_step']
+           'make_sharded_smoke_step', 'make_sharded_obstacle_projection']
 
 
 def _classify_velocity_axis(field, dim: str):
@@ -505,3 +505,173 @@ def make_sharded_smoke_step(mesh: Mesh, axes: Dict[str, str], v_template, s_temp
         return v_out, s_out, p_field
 
     return jax.jit(step)
+
+
+def make_sharded_obstacle_projection(mesh: Mesh, axes: Dict[str, str], template, obstacles,
+                                     rel_tol: float = 1e-5, abs_tol: float = 1e-5,
+                                     max_iterations: int = 2000):
+    """Sharded pressure projection WITH stationary obstacles: the masked
+    Poisson operator (reference: fluid.py:165-202 masked_laplace) staged into
+    cell-aligned coefficient arrays on the host (ops.poisson.stage_masks),
+    sharded as extra block inputs, and applied with ppermute halos inside one
+    shard_map. Mirrors the single-device semantics: velocity zeroed inside
+    obstacles, identity rows on blocked cells, divergence balancing for the
+    closed-box nullspace, plain psum'd CG (the MG preconditioner approximates
+    the unobstructed operator poorly here, as on one device).
+    """
+    from ..physics import fluid as _fluid
+    from ..ops import poisson as _poisson
+    from ..field import Field as _Field
+    from ..field import stagger as _field_stagger
+    from ..geom import union as _union
+    from ..math import _ops as _mops
+    from ..math import extrapolation as _extrap
+
+    kit = _make_kit(mesh, axes, template, rel_tol, abs_tol, max_iterations)
+    dims, ndim, res = kit.dims, kit.ndim, kit.res
+    inv_dx2 = kit.inv_dx2
+
+    # --- host-side mask staging (static obstacle geometry) ---
+    obstacles = _fluid._get_obstacles_for(obstacles, template)
+    assert all(o.is_stationary for o in obstacles), "explicit path: stationary obstacles only"
+    accessible_b = _fluid._accessible_extrapolation(template.boundary)
+    accessible = _Field(template.geometry, ~_union([o.geometry for o in obstacles]), accessible_b)
+    hard_bcs = _field_stagger(accessible, _mops.minimum, template.boundary,
+                              at=template.sampled_at, dims=dims)
+    pressure_ext = _fluid._pressure_extrapolation(template.boundary)
+    bc = _fluid._classify_pressure_bc(pressure_ext, template.boundary, dims)
+    assert bc is not None, "obstacle projection requires classifiable pressure boundaries"
+    full_masks = []
+    for di, d in enumerate(dims):
+        comp = hard_bcs.values[{'~vector': d}]
+        lo_valid, up_valid = template.boundary.valid_outer_faces(d)
+        m = comp.native(tuple(n for n in dims if n in comp.shape))
+        pad_cfg = [(0, 0)] * m.ndim
+        if bc[di][0] != 'periodic':
+            pad_cfg[di] = (int(not lo_valid), int(not up_valid))
+        m = jnp.pad(m, pad_cfg)
+        full_masks.append(m)
+    mA_list, c0 = _poisson.stage_masks(full_masks, bc, inv_dx2)
+    active_arr = accessible.values.native(dims)
+    hb_uniform = uniform_staggered(hard_bcs, template=template)
+
+    mA_specs = []
+    for i, d in enumerate(dims):
+        per_axis = []
+        for j, dj in enumerate(dims):
+            if kit.p_bc[dj][0] == 'periodic':
+                per_axis.append(AxisSpec(j, kit.mesh_axis[dj] or f'_none_{dj}', kit.n_shards[dj]))
+            else:
+                per_axis.append(AxisSpec(j, kit.mesh_axis[dj] or f'_none_{dj}', kit.n_shards[dj],
+                                         ('value', 0.0), ('value', 0.0)))
+        mA_specs.append(per_axis)
+    p_fill = [AxisSpec(i, kit.mesh_axis[d] or f'_none_{d}', kit.n_shards[d],
+                       'periodic' if kit.p_bc[d][0] == 'periodic' else ('value', 0.0),
+                       'periodic' if kit.p_bc[d][1] == 'periodic' else ('value', 0.0))
+              for i, d in enumerate(dims)]
+
+    def masked_lap(p, mA_blocks, c0_blk):
+        ph = halo_exchange(p, p_fill, width=1)
+        lap = None
+        for i in range(ndim):
+            mAh = halo_exchange(mA_blocks[i], [mA_specs[i][i]], width=1)
+            sl_m = [slice(1, -1) if j == i else slice(None) for j in range(ndim)]
+            sl_hi = [slice(2, None) if j == i else slice(None) for j in range(ndim)]
+            am = mAh[tuple(sl_m)]                        # a⁻(c) = mask of face c
+            ap = mAh[tuple(sl_hi)]                       # a⁺(c) = mask of face c+1
+            psl_lo = [slice(1, -1)] * ndim
+            psl_hi = [slice(1, -1)] * ndim
+            psl_lo[i] = slice(0, -2)
+            psl_hi[i] = slice(2, None)
+            term = (am * ph[tuple(psl_lo)] + ap * ph[tuple(psl_hi)]) * np.float32(inv_dx2[i])
+            lap = term if lap is None else lap + term
+        return lap + c0_blk * p
+
+    def project_blocks(active, c0_blk, *rest):
+        mA_blocks = rest[:ndim]
+        hb_blocks = rest[ndim:2 * ndim]
+        u_blocks = rest[2 * ndim:]  # already boundary-conditioned (see project())
+        # divergence
+        div = None
+        for i, d in enumerate(dims):
+            bc_lo, bc_hi = kit.vel_bc[d]
+            spec = AxisSpec(i, kit.mesh_axis[d] or f'_none_{d}', kit.n_shards[d],
+                            'periodic' if bc_lo == 'periodic' else ('value', 0.0),
+                            'periodic' if bc_hi == 'periodic' else bc_hi)
+            uh = halo_exchange(u_blocks[i], [spec], width=1)
+            idx_lo = [slice(1, -1) if j == i else slice(None) for j in range(ndim)]
+            idx_hi = [slice(2, None) if j == i else slice(None) for j in range(ndim)]
+            term = (uh[tuple(idx_hi)] - uh[tuple(idx_lo)]) * np.float32(kit.inv_dx[i])
+            div = term if div is None else div + term
+        # reference semantics (fluid.py:119-128): zero the divergence on blocked
+        # cells (keeps CG on the definite active block), active-weighted balance
+        # for the closed-box nullspace, then the rank-deficiency mean projection
+        div = div * active
+        div = div - active * (_mean_psum(div, kit.spatial_axis_names, kit.n_cells)
+                              / _mean_psum(active, kit.spatial_axis_names, kit.n_cells))
+        b = div - _mean_psum(div, kit.spatial_axis_names, kit.n_cells)
+        b_norm_sq = kit.psum_dot(b, b)
+        tol_sq = jnp.maximum(abs_tol, rel_tol * jnp.sqrt(b_norm_sq)) ** 2
+
+        def A(p):
+            return jnp.where(active != 0, masked_lap(p, mA_blocks, c0_blk), p)
+
+        x = jnp.zeros_like(b)
+        r = b
+        p = r
+        rr = b_norm_sq
+
+        def cond(state):
+            x, r, p, rr, it = state
+            return jnp.logical_and(it < max_iterations, rr > tol_sq)
+
+        def body(state):
+            x, r, p, rr, it = state
+            Ap = A(p)
+            alpha = rr / kit.psum_dot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rr_new = kit.psum_dot(r, r)
+            p = r + (rr_new / rr) * p
+            return x, r, p, rr_new, it + 1
+
+        x, r, p, rr, it = lax.while_loop(cond, body, (x, r, p, rr, jnp.asarray(0, jnp.int32)))
+        x = x - _mean_psum(x, kit.spatial_axis_names, kit.n_cells)
+        # pressure gradient at faces, masked by hard_bcs
+        ph = halo_exchange(x, p_fill, width=1)
+        out = []
+        for i, d in enumerate(dims):
+            idx_ce = [slice(1, -1)] * ndim
+            idx_lo = [slice(1, -1)] * ndim
+            idx_lo[i] = slice(0, -2)
+            grad = (ph[tuple(idx_ce)] - ph[tuple(idx_lo)]) * np.float32(kit.inv_dx[i])
+            out.append(u_blocks[i] - grad * hb_blocks[i])
+        return tuple(out) + (x, it)
+
+    in_spec = kit.in_spec
+    n_in = 2 + ndim + ndim + ndim  # active, c0, mA×d, hb×d, u×d
+    specs_in = tuple(in_spec for _ in range(n_in))
+    specs_out = tuple(in_spec for _ in dims) + (in_spec, PartitionSpec())
+    sharded = jax.shard_map(project_blocks, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
+                            check_vma=False)
+    # mA arrays from stage_masks broadcast over non-own dims; materialize full
+    mA_full = [jnp.broadcast_to(m, res) for m in mA_list]
+    c0_full = jnp.broadcast_to(c0, res)
+
+    def project(field):
+        # blend obstacle velocities into the field exactly as the reference
+        # does before the solve (fluid.py:212 apply_boundary_conditions)
+        field = _fluid.apply_boundary_conditions(field, obstacles)
+        arrays = uniform_staggered(field, template=template)
+        results = sharded(active_arr, c0_full, *mA_full, *[hb_uniform[d] for d in dims],
+                          *[arrays[d] for d in dims])
+        new_arrays = {d: results[i] for i, d in enumerate(dims)}
+        p_global, iters = results[ndim], results[ndim + 1]
+        v_out = staggered_from_uniform(new_arrays, template)
+        from ..math import Tensor, spatial
+        from ..field import Field
+        p_field = Field(field.geometry, Tensor(p_global, spatial(**dict(zip(dims, res)))),
+                        _pressure_ext(template))
+        return v_out, p_field
+
+    return jax.jit(project)

@@ -152,3 +152,27 @@ def test_sharded_full_step_3d():
     assert float(math.max(abs(divergence(v2).values))) < 1e-3
     for c in math.unstack(v2.values, '~vector'):
         assert np.isfinite(np.asarray(c.native())).all()
+
+
+def test_sharded_obstacle_projection_matches_single():
+    """Masked pressure projection with a sphere obstacle, x AND y sharded,
+    vs single-device make_incompressible (reference semantics fluid.py:94-162)."""
+    from phiflow_tpu.math import ConvergenceException
+    from phiflow_tpu.geom import Sphere
+    from phiflow_tpu.physics import fluid
+    from phiflow_tpu.parallel._shardmap import make_sharded_obstacle_projection
+
+    with math.precision(64):
+        n = 32
+        bounds = Box(x=float(n), y=float(n))
+        v = StaggeredGrid(Noise(vector='x,y'), extrapolation.ZERO, x=n, y=n, bounds=bounds) * 0.2
+        obstacle = Sphere(x=n / 2, y=n / 2, radius=n / 6)
+        v_ref, p_ref = fluid.make_incompressible(
+            v, [obstacle], Solve('CG', 1e-10, 1e-10, max_iterations=5000,
+                                 suppress=(ConvergenceException,)))
+        mesh = _mesh2d()
+        project = make_sharded_obstacle_projection(mesh, {'x': 'x', 'y': 'y'}, v, [obstacle],
+                                                   rel_tol=1e-10, abs_tol=1e-10, max_iterations=5000)
+        v_sh, p_sh = project(v)
+        for c1, c2 in zip(math.unstack(v_ref.values, '~vector'), math.unstack(v_sh.values, '~vector')):
+            math.assert_close(c1, c2, abs_tolerance=1e-5)
