@@ -315,19 +315,75 @@ def make_sharded_projection(mesh: Mesh, axes: Dict[str, str], template,
     sharded = jax.shard_map(kit.project_blocks, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
                             check_vma=False)
 
+    batched = jax.vmap(sharded)  # data parallelism composes with the spatial mesh
+
     def project(field):
+        from ..math import Tensor, spatial, batch as batch_fn
+        from ..math._shape import concat_shapes
+        from ..field import Field
+        b_shape = field.values.shape.batch
+        if b_shape:
+            # flatten batch dims to one leading axis and vmap the shard_map body
+            comps = {}
+            for d in dims:
+                comp = field.vector[d].values
+                arr = comp.native(tuple(b_shape.names) + dims)
+                comps[d] = arr.reshape((-1,) + arr.shape[len(b_shape.names):])
+            arrays = _uniform_from_logical_batched(comps, template, dims)
+            results = batched(*[arrays[d] for d in dims])
+            new_arrays = {d: results[i] for i, d in enumerate(dims)}
+            p_flat = results[ndim]
+            v_out = _staggered_from_uniform_batched(new_arrays, template, b_shape)
+            p_shape = concat_shapes(b_shape, spatial(**dict(zip(dims, res))))
+            p_field = Field(field.geometry, Tensor(p_flat.reshape(tuple(b_shape.sizes) + res), p_shape),
+                            _pressure_ext(template))
+            return v_out, p_field
         arrays = uniform_staggered(field, template=template)
         results = sharded(*[arrays[d] for d in dims])
         new_arrays = {d: results[i] for i, d in enumerate(dims)}
         p_global, iters = results[ndim], results[ndim + 1]
         v_out = staggered_from_uniform(new_arrays, template)  # template: concrete boundary metadata
-        from ..math import Tensor, spatial
-        from ..field import Field
         p_field = Field(field.geometry, Tensor(p_global, spatial(**dict(zip(dims, res)))),
                         _pressure_ext(template))
         return v_out, p_field
 
     return jax.jit(project)
+
+
+def _uniform_from_logical_batched(comps: Dict[str, jnp.ndarray], template, dims):
+    """Batched (B, *logical) comp arrays → (B, *uniform) lower-face arrays."""
+    out = {}
+    for i, d in enumerate(dims):
+        arr = comps[d]
+        bc_lo, _ = _classify_velocity_axis(template, d)
+        if bc_lo == 'periodic':
+            out[d] = arr
+        else:
+            pad = [(0, 0)] * arr.ndim
+            pad[1 + i] = (1, 0)
+            out[d] = jnp.pad(arr, pad, constant_values=np.float32(bc_lo[1]))
+    return out
+
+
+def _staggered_from_uniform_batched(arrays: Dict[str, jnp.ndarray], template, b_shape):
+    """Inverse of `_uniform_from_logical_batched`, rebuilding the Field with
+    its batch dims restored."""
+    from ..math import Tensor, stack, dual, spatial as spatial_fn
+    from ..math._shape import concat_shapes
+    dims = template.resolution.names
+    comps = []
+    for i, d in enumerate(dims):
+        arr = arrays[d]
+        bc_lo, _ = _classify_velocity_axis(template, d)
+        if bc_lo != 'periodic':
+            idx = [slice(None)] * arr.ndim
+            idx[1 + i] = slice(1, None)
+            arr = arr[tuple(idx)]
+        arr = arr.reshape(tuple(b_shape.sizes) + arr.shape[1:])
+        sizes = dict(zip(dims, arr.shape[len(b_shape.names):]))
+        comps.append(Tensor(arr, concat_shapes(b_shape, spatial_fn(**sizes))))
+    values = stack(comps, dual(vector=list(dims)))
+    return template.with_values(values)
 
 
 def _pressure_ext(template):

@@ -176,3 +176,37 @@ def test_sharded_obstacle_projection_matches_single():
         v_sh, p_sh = project(v)
         for c1, c2 in zip(math.unstack(v_ref.values, '~vector'), math.unstack(v_sh.values, '~vector')):
             math.assert_close(c1, c2, abs_tolerance=1e-5)
+
+
+def test_sharded_projection_batched():
+    """Batch dims (data parallelism) composed with the spatial decomposition:
+    vmap over the shard_map projection."""
+    from phiflow_tpu.math import batch as batch_fn, expand, ConvergenceException
+    from phiflow_tpu.field import divergence
+    from phiflow_tpu.physics import fluid
+    from phiflow_tpu.parallel._shardmap import make_sharded_projection
+    with math.precision(64):
+        n = 16
+        bounds = Box(x=float(n), y=float(n))
+        template = StaggeredGrid(0., extrapolation.ZERO, x=n, y=n, bounds=bounds)
+        # 3 batched noise fields
+        from phiflow_tpu.math import stack as math_stack, dual
+        comps = []
+        for d in ('x', 'y'):
+            parts = [StaggeredGrid(Noise(vector='x,y'), extrapolation.ZERO, x=n, y=n,
+                                   bounds=bounds).vector[d].values for _ in range(3)]
+            comps.append(math_stack(parts, batch_fn(b=3)))
+        v = template.with_values(math_stack(comps, dual(vector=['x', 'y'])))
+        mesh = _mesh2d()
+        project = make_sharded_projection(mesh, {'x': 'x', 'y': 'y'}, template,
+                                          rel_tol=1e-9, abs_tol=1e-9, max_iterations=3000)
+        v_sh, p_sh = project(v)
+        assert 'b' in v_sh.values.shape.names
+        # each batch entry matches the single-device solve of its slice
+        for i in range(3):
+            vi = template.with_values(v.values[{'b': i}])
+            v_ref, _ = fluid.make_incompressible(vi, (), Solve('CG', 1e-9, 1e-9, max_iterations=3000,
+                                                               suppress=(ConvergenceException,)))
+            for c1, c2 in zip(math.unstack(v_ref.values, '~vector'),
+                              math.unstack(v_sh.values[{'b': i}], '~vector')):
+                math.assert_close(c1, c2, abs_tolerance=1e-5)
