@@ -767,9 +767,58 @@ def minimize(f: Callable, solve: Solve):
 
 
 def solve_nonlinear(f: Callable, y, solve: Solve):
-    """Newton-free nonlinear solve via minimizing ||f(x) − y||²."""
-    def loss(x):
-        diff = f(x) - y
-        leaves = _tensor_leaves(diff)
-        return sum([ops.sum_(t ** 2) for t in leaves])
-    return minimize(loss, solve)
+    """Solve f(x) = y for a nonlinear f (reference API: phiml solve_nonlinear).
+
+    method 'auto'/'Newton': matrix-free Newton-Krylov — each Newton step solves
+    J·dx = −r with BiCGStab on the JVP of f (no Jacobian materialization),
+    followed by a backtracking damping search on ‖r‖². Other methods fall back
+    to minimizing ‖f(x) − y‖² with the chosen optimizer.
+    """
+    if solve.method not in ('auto', 'Newton', 'newton'):
+        def loss(x):
+            diff = f(x) - y
+            leaves = _tensor_leaves(diff)
+            return sum([ops.sum_(t ** 2) for t in leaves])
+        return minimize(loss, solve)
+    solve = solve.with_defaults('solve')
+    x0 = solve.x0
+    assert x0 is not None, "solve_nonlinear requires solve.x0"
+    fmt = _VecFormat(x0)
+    x_vec = fmt.flatten(x0).reshape(-1)
+    y_vec = _VecFormat(y).flatten(y).reshape(-1)
+
+    def residual_flat(xf):
+        state = fmt.unflatten(xf.reshape(fmt.flatten(x0).shape))
+        r = f(state)
+        return _VecFormat(y).flatten(r).reshape(-1) - y_vec
+
+    tol = max(solve.abs_tol or 1e-5, 1e-12)
+    max_newton = min(solve.max_iterations, 50)
+    for it in range(max_newton):
+        r = residual_flat(x_vec)
+        r_norm = float(jnp.linalg.norm(r)) if not isinstance(r, jax.core.Tracer) else None
+        if r_norm is not None and r_norm < tol:
+            break
+        jvp = lambda v: jax.jvp(residual_flat, (x_vec,), (v,))[1]
+        dx, _, _, _ = _bicgstab(lambda vs: [jvp(vs[0])], [-r], [jnp.zeros_like(r)],
+                                rtol=1e-3, atol=1e-12, max_iter=200)
+        dx = dx[0]
+        # backtracking damping on ‖r‖²
+        step = 1.0
+        base = jnp.sum(r ** 2)
+        for _ in range(8):
+            r_new = residual_flat(x_vec + step * dx)
+            if isinstance(r_new, jax.core.Tracer) or float(jnp.sum(r_new ** 2)) < float(base):
+                break
+            step *= 0.5
+        x_vec = x_vec + step * dx
+    x = fmt.unflatten(x_vec.reshape(fmt.flatten(x0).shape))
+    r_final = residual_flat(x_vec)
+    if not isinstance(r_final, jax.core.Tracer):
+        res = float(jnp.linalg.norm(r_final))
+        info = SolveInfo(solve, x, res, it + 1, -1, res < tol * 10, not np.isfinite(res), 'Newton-Krylov')
+        _record(info)
+        if not info.converged and NotConverged not in solve.suppress \
+                and ConvergenceException not in solve.suppress:
+            raise NotConverged(info)
+    return x

@@ -132,3 +132,18 @@ def test_solve_tape_runtime_stats():
     stats = tape.solve_infos[-1].runtime_stats
     assert stats.get('iterations', 0) > 0
     assert 'residual_norm' in stats
+
+
+def test_solve_nonlinear_newton():
+    """Matrix-free Newton-Krylov on a coupled nonlinear system."""
+    import numpy as np
+    from phiflow_tpu.math import solve_nonlinear
+
+    def f(x):
+        # f(x) = x³ + x (monotone, unique root structure)
+        return x ** 3 + x
+
+    target = wrap(np.array([2., 10., -2.], np.float32), spatial('x'))
+    x0 = math.zeros(spatial(x=3))
+    x = solve_nonlinear(f, target, Solve('Newton', 1e-6, 1e-6, x0=x0))
+    math.assert_close(f(x), target, abs_tolerance=1e-4)
