@@ -13,6 +13,8 @@ from .math import (
     jit_compile, jit_compile_linear, gradient, functional_gradient, jacobian, custom_gradient,
     iterate, assert_close, extrapolation, PI, INF, NAN, NUMPY,
     ConvergenceException, Diverged, NotConverged, copy_with, set_global_precision, precision,
+    Layout, layout, neighbor_mean, sample_subgrid, quantile, median, histogram,
+    pairwise_differences,
 )
 from .math.extrapolation import PERIODIC, ZERO_GRADIENT
 
@@ -30,6 +32,10 @@ try:
     from .geom import Mesh, mesh, load_su2, load_gmsh, load_stl, mesh_from_numpy, build_mesh, Graph, graph
 except ImportError:
     pass
+try:
+    from .geom import Heightmap, SDF, SDFGrid, Voxels, BSplineSheet, SplineSolid, to_spline, double_cover
+except ImportError:
+    pass
 
 # --- field ---
 from . import field
@@ -40,7 +46,7 @@ from .field import (
     fourier_laplace, fourier_poisson, where, maximum, minimum, vec_length, vec_squared,
     finite_fill, distribute_points, l2_loss, mask, stagger,
 )
-from .field import Scene, write as write_field, read as read_field
+from .field import Scene, SceneBatch, write as write_field, read as read_field
 
 # --- physics ---
 from . import physics
@@ -66,3 +72,10 @@ except ImportError:
 
 import numpy
 import numpy as np
+
+# --- parallel (TPU-native multi-chip; no reference counterpart) ---
+try:
+    from . import parallel
+    from .parallel import create_mesh, shard_field, shard_tensor, simulation_mesh
+except ImportError:
+    pass
