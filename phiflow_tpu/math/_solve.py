@@ -152,6 +152,9 @@ class SolveTape:
 
     def __init__(self, *solves: Solve, record_trajectories=False, record_runtime=False):
         self.solves = solves
+        # record_trajectories: accepted for API parity; per-iteration solution
+        # snapshots are not recorded (the while_loop body is compiled — use
+        # max_iterations sweeps to inspect convergence instead)
         self.record_trajectories = record_trajectories
         self.record_runtime = record_runtime
         self.solve_infos: list = []
