@@ -49,6 +49,15 @@ def generate(n=24, steps=3, seed=7):
     for _ in range(steps):
         smoke, ux, uy, p = ref.smoke_step(smoke, ux, uy, dt_s, buoy, n, h)
     data['smoke_s'], data['smoke_ux'], data['smoke_uy'] = smoke, ux, uy
+
+    # --- config 4: obstacle-masked projection (closed box + sphere) ---
+    ux = rng.standard_normal((n - 1, n)) * 0.5
+    uy = rng.standard_normal((n, n - 1)) * 0.5
+    cx, cy, R = 0.5, 0.5, 0.2
+    data['obs_ux0'], data['obs_uy0'] = ux.copy(), uy.copy()
+    data['obs_center'], data['obs_radius'] = np.array([cx, cy]), R
+    ox, oy, op = ref.sphere_masked_project(ux, uy, n, h, cx, cy, R)
+    data['obs_ux'], data['obs_uy'], data['obs_p'] = ox, oy, op
     return data
 
 
@@ -65,12 +74,19 @@ def verify(data):
 
     n, steps, h = data['n'], data['steps'], data['h']
     errs = {}
+    import phiflow_tpu.math as _math
+    ctx = _math.precision(64)
+    ctx.__enter__()
     vx, vy = run_burgers(data)
     errs['burgers'] = max(_l2(vx, data['burgers_vx']), _l2(vy, data['burgers_vy']))
     ux, uy = run_projection(data)
     errs['projection'] = max(_l2(ux, data['proj_ux']), _l2(uy, data['proj_uy']))
     s, ux, uy = run_smoke(data)
     errs['smoke'] = max(_l2(s, data['smoke_s']), _l2(ux, data['smoke_ux']), _l2(uy, data['smoke_uy']))
+    from tests.golden.test_golden import run_obstacle_projection
+    ux, uy = run_obstacle_projection(data)
+    errs['obstacle'] = max(_l2(ux, data['obs_ux']), _l2(uy, data['obs_uy']))
+    ctx.__exit__(None, None, None)
     return errs
 
 

@@ -170,3 +170,73 @@ def smoke_step(smoke, ux, uy, dt, buoyancy, n, h):
     uy_adv = uy_adv + dt * buoy_y
     ux_p, uy_p, p = mac_project(ux_adv, uy_adv, n, h)
     return smoke_new, ux_p, uy_p, p
+
+
+# ---------------------------------------------------------------------------
+# obstacle-masked projection (closed box + sphere obstacle)
+# ---------------------------------------------------------------------------
+
+def sphere_masked_project(ux, uy, n, h, cx, cy, R):
+    """Pressure projection with a sphere obstacle, mirroring the reference
+    pipeline (phi/physics/fluid.py:94-162): hard accessible-cell mask, binary
+    staggered face masks (min of adjacent cells), soft velocity blending at the
+    obstacle boundary, identity rows on blocked cells, dense masked Poisson
+    solve (zero-mean gauge)."""
+    # cell centers
+    xs = (np.arange(n) + 0.5) * h
+    cc_x, cc_y = np.meshgrid(xs, xs, indexing='ij')
+    dist_cell = np.sqrt((cc_x - cx) ** 2 + (cc_y - cy) ** 2)
+    accessible = (dist_cell >= R).astype(np.float64)  # hard lies_inside complement
+
+    # soft obstacle fraction at faces (balance=1, cell bounding radius h·√2/2)
+    r_cell = h * np.sqrt(2) / 2
+
+    def soft_frac(px, py):
+        sgn = np.sqrt((px - cx) ** 2 + (py - cy) ** 2) - R
+        return np.clip(1.0 - sgn / r_cell, 0.0, 1.0)
+
+    fx_x, fx_y = np.meshgrid(np.arange(1, n) * h, xs, indexing='ij')   # interior x-faces
+    fy_x, fy_y = np.meshgrid(xs, np.arange(1, n) * h, indexing='ij')   # interior y-faces
+    ux_m = ux * (1.0 - soft_frac(fx_x, fx_y))
+    uy_m = uy * (1.0 - soft_frac(fy_x, fy_y))
+
+    # binary face masks: both adjacent cells accessible
+    mask_fx = np.minimum(accessible[:-1, :], accessible[1:, :])
+    mask_fy = np.minimum(accessible[:, :-1], accessible[:, 1:])
+
+    div = mac_divergence(ux_m, uy_m, n, h)
+    div = div * accessible
+    div = div - accessible * (div.sum() / accessible.sum())
+
+    # dense masked Poisson: identity rows on blocked cells
+    N = n * n
+    A = np.zeros((N, N))
+
+    def idx(i, j):
+        return i * n + j
+    for i in range(n):
+        for j in range(n):
+            k = idx(i, j)
+            if accessible[i, j] == 0:
+                A[k, k] = 1.0
+                continue
+            # x-neighbors through interior faces
+            if i > 0 and mask_fx[i - 1, j]:
+                A[k, idx(i - 1, j)] += 1 / h ** 2
+                A[k, k] -= 1 / h ** 2
+            if i < n - 1 and mask_fx[i, j]:
+                A[k, idx(i + 1, j)] += 1 / h ** 2
+                A[k, k] -= 1 / h ** 2
+            if j > 0 and mask_fy[i, j - 1]:
+                A[k, idx(i, j - 1)] += 1 / h ** 2
+                A[k, k] -= 1 / h ** 2
+            if j < n - 1 and mask_fy[i, j]:
+                A[k, idx(i, j + 1)] += 1 / h ** 2
+                A[k, k] -= 1 / h ** 2
+    b = (div - div.mean()).reshape(-1)
+    p, *_ = np.linalg.lstsq(A, b, rcond=None)
+    p = p.reshape(n, n)
+    p = p - p.mean()
+    gx = (p[1:, :] - p[:-1, :]) / h * mask_fx
+    gy = (p[:, 1:] - p[:, :-1]) / h * mask_fy
+    return ux_m - gx, uy_m - gy, p

@@ -81,6 +81,20 @@ def run_smoke(data):
     return s, ux, uy
 
 
+def run_obstacle_projection(data):
+    from phiflow_tpu.geom import Sphere
+    n = int(data['n'])
+    cx, cy = (float(c) for c in data['obs_center'])
+    R = float(data['obs_radius'])
+    v = _staggered_from(data['obs_ux0'], data['obs_uy0'], n)
+    v2, p = fluid.make_incompressible(v, [Sphere(x=cx, y=cy, radius=R)],
+                                      Solve('CG', 1e-12, 1e-12, max_iterations=8000,
+                                            suppress=(ConvergenceException,)))
+    ux = np.asarray(v2.values[{'~vector': 'x'}].native(('x', 'y')))
+    uy = np.asarray(v2.values[{'~vector': 'y'}].native(('x', 'y')))
+    return ux, uy
+
+
 def _l2(a, b):
     return float(np.sqrt(np.mean((np.asarray(a) - np.asarray(b)) ** 2)))
 
@@ -103,6 +117,13 @@ def test_projection_golden(golden):
         ux, uy = run_projection(golden)
     assert _l2(ux, golden['proj_ux']) < 1e-5
     assert _l2(uy, golden['proj_uy']) < 1e-5
+
+
+def test_obstacle_projection_golden(golden):
+    with math.precision(64):
+        ux, uy = run_obstacle_projection(golden)
+    assert _l2(ux, golden['obs_ux']) < 1e-5
+    assert _l2(uy, golden['obs_uy']) < 1e-5
 
 
 def test_smoke_golden(golden):
