@@ -63,9 +63,16 @@ def _make_roll(interpret: bool):
     if _TPU and not interpret:
         def roll(x, shift, axis):
             size = x.shape[axis]
+            if isinstance(shift, int) and shift % size == 0:
+                return x  # static zero shift: skip the rotate entirely
             return pltpu.roll(x, shift % size, axis)  # pltpu.roll requires shift ≥ 0
         return roll
-    return lambda x, shift, axis: jnp.roll(x, shift, axis)
+
+    def roll_xla(x, shift, axis):
+        if isinstance(shift, int) and shift % x.shape[axis] == 0:
+            return x
+        return jnp.roll(x, shift, axis)
+    return roll_xla
 
 
 def _stage_circular(padded: jnp.ndarray, C: int, aligns, lead_axes: int) -> jnp.ndarray:
@@ -158,23 +165,19 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
         slab_v = slab[:]  # full (TILE+2C, YT+2·OFF, Zs) tile incl. halos
 
         # Loop nesting puts the expensive vector ROLLS on the outer axes and the
-        # cheap leading-axis slices innermost: z-rolls run W times, y-rolls W²
-        # times, and the W³ x-windows are dynamic slices of the leading
-        # (untiled) axis — register-addressed, no lane movement. Total shifted
-        # traffic is W+W² slab rolls instead of the naive W³+W² (6× less at
-        # K=2), with weights computed inline (each (sy,sz) pair occurs once).
+        # cheap leading-axis slices innermost: z-rolls run W−1 times, y-rolls
+        # W·(W−1) times (STATIC shifts: zero shifts skip the rotate entirely),
+        # and the W³ x-windows are static leading-axis slices — register-
+        # addressed, no lane movement. Total shifted traffic ≈ W²−1 slab rolls
+        # instead of the naive W³+W², with weights computed inline.
         # out = Σ_sz wz · Σ_sy wy · Σ_sx wx · window   (hierarchical FMA)
-        def z_body(iz, carry):
-            acc, lo_acc, up_acc = carry
+        acc, lo_acc, up_acc = acc0, lo0, up0
+        for iz in range(W):
             sz = iz - K
             zs = _roll(slab_v, -sz, 2)
             az = jnp.abs(dz_ - sz)
             wz = jnp.maximum(0., 1. - az)
             zm = az < 1.
-
-            # y loop python-unrolled: STATIC sublane-axis rolls (dynamic-shift
-            # sublane rotates lower poorly in Mosaic); x windows are static
-            # leading-axis slices (register-addressed, no data movement)
             y_acc = jnp.zeros((TILE, YT, Z), jnp.float32)
             for iy in range(W):
                 sy = iy - K
@@ -193,9 +196,7 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
                         lo_acc = jnp.minimum(lo_acc, jnp.where(cm, window, big))
                         up_acc = jnp.maximum(up_acc, jnp.where(cm, window, -big))
                 y_acc = y_acc + x_acc * wy
-            return acc + y_acc * wz, lo_acc, up_acc
-
-        acc, lo_acc, up_acc = jax.lax.fori_loop(0, W, z_body, (acc0, lo0, up0))
+            acc = acc + y_acc * wz
         out_refs[0][:] = acc
         if compute_extrema:
             out_refs[1][:] = lo_acc
