@@ -58,6 +58,17 @@ def generate(n=24, steps=3, seed=7):
     data['obs_center'], data['obs_radius'] = np.array([cx, cy]), R
     ox, oy, op = ref.sphere_masked_project(ux, uy, n, h, cx, cy, R)
     data['obs_ux'], data['obs_uy'], data['obs_p'] = ox, oy, op
+
+    # --- config 5: 3D closed-box projection ---
+    n3 = 12
+    h3 = 1.0 / n3
+    ux = rng.standard_normal((n3 - 1, n3, n3)) * 0.5
+    uy = rng.standard_normal((n3, n3 - 1, n3)) * 0.5
+    uz = rng.standard_normal((n3, n3, n3 - 1)) * 0.5
+    data['p3_n'], data['p3_h'] = n3, h3
+    data['p3_ux0'], data['p3_uy0'], data['p3_uz0'] = ux.copy(), uy.copy(), uz.copy()
+    px, py, pz, pp = ref.mac_project_3d(ux, uy, uz, n3, h3)
+    data['p3_ux'], data['p3_uy'], data['p3_uz'] = px, py, pz
     return data
 
 
@@ -83,9 +94,11 @@ def verify(data):
     errs['projection'] = max(_l2(ux, data['proj_ux']), _l2(uy, data['proj_uy']))
     s, ux, uy = run_smoke(data)
     errs['smoke'] = max(_l2(s, data['smoke_s']), _l2(ux, data['smoke_ux']), _l2(uy, data['smoke_uy']))
-    from tests.golden.test_golden import run_obstacle_projection
+    from tests.golden.test_golden import run_obstacle_projection, run_projection_3d
     ux, uy = run_obstacle_projection(data)
     errs['obstacle'] = max(_l2(ux, data['obs_ux']), _l2(uy, data['obs_uy']))
+    px, py, pz = run_projection_3d(data)
+    errs['projection3d'] = max(_l2(px, data['p3_ux']), _l2(py, data['p3_uy']), _l2(pz, data['p3_uz']))
     ctx.__exit__(None, None, None)
     return errs
 

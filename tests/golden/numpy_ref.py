@@ -240,3 +240,39 @@ def sphere_masked_project(ux, uy, n, h, cx, cy, R):
     gx = (p[1:, :] - p[:-1, :]) / h * mask_fx
     gy = (p[:, 1:] - p[:, :-1]) / h * mask_fy
     return ux_m - gx, uy_m - gy, p
+
+
+# ---------------------------------------------------------------------------
+# 3D closed-box projection
+# ---------------------------------------------------------------------------
+
+def mac_divergence_3d(ux, uy, uz, n, h):
+    fx = np.zeros((n + 1, n, n)); fx[1:n] = ux
+    fy = np.zeros((n, n + 1, n)); fy[:, 1:n] = uy
+    fz = np.zeros((n, n, n + 1)); fz[:, :, 1:n] = uz
+    return ((fx[1:] - fx[:-1]) + (fy[:, 1:] - fy[:, :-1]) + (fz[:, :, 1:] - fz[:, :, :-1])) / h
+
+
+def mac_project_3d(ux, uy, uz, n, h):
+    """3D Neumann Poisson projection (dense lstsq; n small)."""
+    div = mac_divergence_3d(ux, uy, uz, n, h)
+    N = n ** 3
+    A = np.zeros((N, N))
+    idx = lambda i, j, k: (i * n + j) * n + k
+    for i in range(n):
+        for j in range(n):
+            for k in range(n):
+                r = idx(i, j, k)
+                for di, dj, dk in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)):
+                    ii, jj, kk = i + di, j + dj, k + dk
+                    if 0 <= ii < n and 0 <= jj < n and 0 <= kk < n:
+                        A[r, idx(ii, jj, kk)] += 1 / h ** 2
+                        A[r, r] -= 1 / h ** 2
+    b = (div - div.mean()).reshape(-1)
+    p, *_ = np.linalg.lstsq(A, b, rcond=None)
+    p = p.reshape(n, n, n)
+    p -= p.mean()
+    gx = (p[1:] - p[:-1]) / h
+    gy = (p[:, 1:] - p[:, :-1]) / h
+    gz = (p[:, :, 1:] - p[:, :, :-1]) / h
+    return ux - gx, uy - gy, uz - gz, p

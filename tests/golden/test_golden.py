@@ -95,6 +95,20 @@ def run_obstacle_projection(data):
     return ux, uy
 
 
+def run_projection_3d(data):
+    from phiflow_tpu.math import dual, spatial, Tensor
+    import jax.numpy as jnp
+    n = int(data['p3_n'])
+    comps = []
+    for arr in (data['p3_ux0'], data['p3_uy0'], data['p3_uz0']):
+        comps.append(Tensor(jnp.asarray(arr), spatial(x=arr.shape[0], y=arr.shape[1], z=arr.shape[2])))
+    values = stack(comps, dual(vector=['x', 'y', 'z']))
+    v = StaggeredGrid(values, 0., bounds=Box(x=1., y=1., z=1.), x=n, y=n, z=n)
+    v2, p = fluid.make_incompressible(v, (), Solve('CG', 1e-12, 1e-12, max_iterations=4000,
+                                                   suppress=(ConvergenceException,)))
+    return (np.asarray(v2.values[{'~vector': d}].native(('x', 'y', 'z'))) for d in ('x', 'y', 'z'))
+
+
 def _l2(a, b):
     return float(np.sqrt(np.mean((np.asarray(a) - np.asarray(b)) ** 2)))
 
@@ -124,6 +138,14 @@ def test_obstacle_projection_golden(golden):
         ux, uy = run_obstacle_projection(golden)
     assert _l2(ux, golden['obs_ux']) < 1e-5
     assert _l2(uy, golden['obs_uy']) < 1e-5
+
+
+def test_projection_3d_golden(golden):
+    with math.precision(64):
+        px, py, pz = run_projection_3d(golden)
+    assert _l2(px, golden['p3_ux']) < 1e-5
+    assert _l2(py, golden['p3_uy']) < 1e-5
+    assert _l2(pz, golden['p3_uz']) < 1e-5
 
 
 def test_smoke_golden(golden):
