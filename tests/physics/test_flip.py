@@ -66,3 +66,37 @@ def test_falling_block_keeps_shape():
         math.assert_close(data_bounds(particles).size, b0.size, abs_tolerance=1e-3)
     assert float(math.max(particles.points.vector['y'], 'points')) < \
         float(math.max(initial.points.vector['y'], 'points'))
+
+
+def test_flip_3d_step():
+    """3D FLIP step: P2G scatter, active-mask projection, G2P, RK4 advection
+    (the reference's FLIP recipe is 2D — this covers the 3D scatter path)."""
+    import numpy as np
+    from phiflow_tpu.math import Solve, extrapolation, ConvergenceException
+    from phiflow_tpu.geom import Box
+    from phiflow_tpu.field import (CenteredGrid, StaggeredGrid, distribute_points,
+                                   finite_fill, resample, mask)
+    from phiflow_tpu.physics import advect, fluid
+
+    r = 12
+    bounds = Box(x=float(r), y=float(r), z=float(r))
+    particles = distribute_points(Box['x,y,z', 2:6, 2:8, 2:6], x=r, y=r, z=r,
+                                  points_per_cell=2) * (0, 0, 0)
+    for _ in range(2):
+        grid_v = prev_v = finite_fill(resample(
+            particles, StaggeredGrid(0, 0, bounds, x=r, y=r, z=r), scatter=True,
+            outside_handling='clamp'))
+        occupied = resample(mask(particles),
+                            CenteredGrid(0, grid_v.boundary.spatial_gradient(), bounds, x=r, y=r, z=r),
+                            scatter=True)
+        grid_v, pressure = fluid.make_incompressible(
+            grid_v + (0, -9.81 * 0.1, 0), [], active=occupied,
+            solve=Solve('CG', 1e-4, 0., max_iterations=500, suppress=(ConvergenceException,)))
+        particles = particles + resample(grid_v - prev_v, particles)
+        particles = advect.points(particles, grid_v, 0.1, advect.finite_rk4)
+        particles = fluid.boundary_push(particles, [~bounds])
+    pts = np.asarray(particles.points.native((particles.points.shape.instance.names[0], 'vector')))
+    assert np.isfinite(pts).all()
+    assert (pts > -0.5).all() and (pts < r + 0.5).all(), "particles left the box"
+    # gravity pulls the block down on average
+    assert pts[:, 1].mean() < 5.0
