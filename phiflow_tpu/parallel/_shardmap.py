@@ -18,14 +18,13 @@ psum over the spatial mesh axes), and the face pressure-gradient update.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh, PartitionSpec
 
 from ._halo import AxisSpec, halo_exchange
 
