@@ -113,14 +113,17 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
     if (Y, Z) != (Y0, Z0):
         disp3 = jnp.pad(disp3, ((0, 0), (0, 0), (0, Y - Y0), (0, Z - Z0)))
         padded = jnp.pad(padded, ((0, 0), (0, 0 if Y == Y0 else Y - Y0), (0, 0 if Z == Z0 else Z - Z0)))
-    # stage: z circular (pad to aligned total, rotate by -C), y at fixed offset 8
+    # stage: z circular (single concat = pad-to-aligned + rotate by −C fused),
+    # y placed at fixed offset 8 via one asymmetric pad — 2 HBM passes total
     z_total = ((Z + 2 * C + 127) // 128) * 128
-    zpad = jnp.pad(padded, ((0, 0), (0, 0), (0, z_total - padded.shape[2])))
-    zslab = jnp.roll(zpad, -C, axis=2)
+    gap = z_total - (padded.shape[2] - C)  # zero gap between right and left halo
+    zslab = jnp.concatenate([
+        padded[:, :, C:],
+        jnp.zeros(padded.shape[:2] + (gap - C,), padded.dtype),
+        padded[:, :, :C]], axis=2)
     Ys = Y + 2 * _Y_OFF
     Zs = z_total
-    slab_full = jnp.zeros((padded.shape[0], Ys, Zs), padded.dtype)
-    slab_full = jax.lax.dynamic_update_slice(slab_full, zslab, (0, _Y_OFF - C, 0))
+    slab_full = jnp.pad(zslab, ((0, 0), (_Y_OFF - C, Ys - (padded.shape[1]) - (_Y_OFF - C)), (0, 0)))
     n_out = 3 if compute_extrema else 1
     # --- pick (TILE, YT) minimizing estimated on-chip traffic within VMEM ---
     # Halo overhead multiplies every roll by ((T+2C)(YT+2·OFF))/(T·YT): tiny
