@@ -43,6 +43,35 @@ def plot(*fields, lib=None, row_dims=None, col_dims=None, animate=None, overlay=
             items.extend((None, x) for x in f)
         else:
             items.append((None, f))
+    # row_dims/col_dims: lay out batch dims of a single field over subplots
+    # (reference: phi/vis/_vis.py:178-181)
+    if (row_dims or col_dims) and len(items) == 1 and isinstance(items[0][1], (Field, Tensor)):
+        name0, data0 = items[0]
+        shp = data0.shape
+        r_names = [d for d in ([row_dims] if isinstance(row_dims, str) else (row_dims or [])) if d in shp.names]
+        c_names = [d for d in ([col_dims] if isinstance(col_dims, str) else (col_dims or [])) if d in shp.names]
+        if r_names or c_names:
+            import itertools as _it
+            r_sizes = [shp.get_size(d) for d in r_names] or [1]
+            c_sizes = [shp.get_size(d) for d in c_names] or [1]
+            items = []
+            for r_idx in _it.product(*[range(s) for s in r_sizes]):
+                for c_idx in _it.product(*[range(s) for s in c_sizes]):
+                    sel = {**dict(zip(r_names, r_idx)), **dict(zip(c_names, c_idx))}
+                    label = ' '.join(f"{k}={v}" for k, v in sel.items())
+                    items.append((label if not name0 else f"{name0} {label}", data0[sel]))
+            cols = int(np.prod(c_sizes))
+            rows = int(np.prod(r_sizes))
+            projections = {(i // cols, i % cols): '3d' for i, (_, data) in enumerate(items)
+                           if _needs_3d_axis(data)}
+            figure, axes = lib.create_figure(size, rows, cols, subplots=projections or None)
+            for i, (nm, data) in enumerate(items):
+                axis = axes[(i // cols, i % cols)]
+                lib.plot(data, figure, axis, None, **kwargs)
+                if nm:
+                    axis.set_title(display_name(nm))
+            lib.finalize(figure)
+            return figure
     n = len(items)
     cols = min(n, 3)
     rows = (n + cols - 1) // cols

@@ -153,3 +153,12 @@ def test_plot_overlay():
     geo = Sphere(x=8, y=8, radius=3)
     fig = plot(overlay(g, geo))
     assert fig is not None
+
+
+def test_plot_row_col_dims():
+    """Batch dims laid out over subplot rows/cols (reference: _vis.py:178-181)."""
+    g = CenteredGrid(Noise(batch(b=2, c=3)), extrapolation.PERIODIC, x=8, y=8)
+    fig = plot(g, row_dims='b', col_dims='c')
+    assert fig is not None
+    f = fig[0] if isinstance(fig, tuple) else fig
+    assert len(f.axes) >= 6  # 2×3 grid (+colorbars)
