@@ -195,9 +195,17 @@ def mesh_advection_differential(u: Field, velocity: Field, density: float = 1., 
 
 
 def sample_mesh_field(value: Field, geometry, at: str, boundary, dot_face_normal) -> Tensor:
-    """Sample a mesh field at arbitrary points: nearest-cell lookup
-    (reference: sample_mesh cell-walk, phi/field/_resample.py:407 — simplified)."""
+    """Sample a mesh field at arbitrary points: nearest-cell lookup plus linear
+    Green-Gauss gradient reconstruction, v(p) = v(c) + ∇v·(p − x_c)
+    (reference: sample_mesh cell-walk + gradient, phi/field/_resample.py:407-426;
+    the iterative cell walk is replaced by a dense `find_closest` over cell
+    centroids — one gather instead of a data-dependent loop)."""
     mesh: Mesh = value.geometry
     points = geometry.center if hasattr(geometry, 'center') else geometry
     idx = ops.find_closest(mesh.center, points)
-    return ops.gather(value.values, idx, dims='cells')
+    base = ops.gather(value.values, idx, dims='cells')
+    if not value.values.shape.channel:  # scalar: first-order correction inside the cell
+        grad = green_gauss_gradient(value).values
+        offset = points - ops.gather(mesh.center, idx, dims='cells')
+        return base + ops.sum_(ops.gather(grad, idx, dims='cells') * offset, 'vector')
+    return base

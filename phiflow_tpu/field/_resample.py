@@ -100,6 +100,9 @@ def sample(value, geometry, at: str = 'center', boundary=None, dot_face_normal=N
     assert isinstance(value, Field), f"cannot sample {type(value)}"
     if value.is_grid:
         return _sample_grid_field(value, geometry, at, boundary, dot_face_normal)
+    if value.is_mesh:  # before is_point_cloud: mesh fields satisfy both flags
+        from ._mesh_math import sample_mesh_field
+        return sample_mesh_field(value, geometry, at, boundary, dot_face_normal)
     if value.is_point_cloud:
         if isinstance(geometry, (UniformGrid,)) or at == 'face':
             # points → grid
@@ -111,9 +114,6 @@ def sample(value, geometry, at: str = 'center', boundary=None, dot_face_normal=N
             return scatter_to_points_target(value, geometry)
         # points → points: nearest / direct
         return _sample_points_at_points(value, geometry)
-    if value.is_mesh:
-        from ._mesh_resample import sample_mesh_field
-        return sample_mesh_field(value, geometry, at, boundary, dot_face_normal)
     raise NotImplementedError(f"sampling {type(value.geometry)}")
 
 

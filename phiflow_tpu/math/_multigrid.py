@@ -127,15 +127,14 @@ def make_poisson_vcycle(resolution: Tuple[int, ...], dx: Tuple[float, ...], bcs,
     bcs = tuple(tuple(b) for b in bcs)  # hashable for the pinv cache
     coarse_inv = _coarse_pinv(coarse_res, coarse_inv_dx2, bcs) if n_coarse <= max_direct else None
 
+    from ..ops.poisson import poisson_smooth
+
     def smooth(u, b, inv_dx2, sweeps, skip_first=False):
+        # sweeps are pairwise-fused into two-sweep Pallas passes; with
+        # skip_first (u == 0) the zero-start sweep u = w·b fuses in as well,
+        # so e.g. ν=3 pre-smoothing is ONE kernel pass (ops/poisson.py).
         w = np.float32(omega / (-2.0 * sum(inv_dx2)))
-        if skip_first:
-            # u == 0: first sweep reduces to u = w·b without a stencil pass
-            u = w * b
-            sweeps -= 1
-        for _ in range(sweeps):
-            u = poisson_apply(u, inv_dx2, bcs, b=b, mode='jacobi', omega_over_diag=w)
-        return u
+        return poisson_smooth(u, b, inv_dx2, bcs, w, sweeps, zero_init=skip_first)
 
     def vcycle_level(b, level: int):
         res_l, inv_dx2 = levels[level]

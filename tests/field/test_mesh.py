@@ -286,3 +286,18 @@ def test_fvm_implicit_channel_end_to_end():
     vmax = float(math.max(abs(v.values)))
     assert 0.7 < mean_ux < 1.4, f"mean u_x {mean_ux} drifted from inflow 1.0"
     assert vmax < 10.0, f"velocity blew up: {vmax}"
+
+
+def test_sample_mesh_field_at_points():
+    """Field.sample on a mesh field at arbitrary points: nearest cell + linear
+    Green-Gauss reconstruction reproduces a linear function exactly away from
+    boundaries (reference behavior: phi/field/_resample.py:407-426)."""
+    from phiflow_tpu.field import sample
+    from phiflow_tpu.geom import Point
+    m = _quad_mesh(8)
+    f = Field(m, lambda pos: 2 * pos.vector['x'] + 3 * pos.vector['y'], 0.)
+    pts = wrap([(0.43, 0.52), (0.55, 0.61), (0.31, 0.47)], instance(points=3), channel(vector='x,y'))
+    sampled = sample(f, Point(pts))
+    expect = 2 * pts.vector['x'] + 3 * pts.vector['y']
+    np.testing.assert_allclose(np.asarray(sampled.native('points')),
+                               np.asarray(expect.native('points')), atol=2e-2)

@@ -165,3 +165,62 @@ def test_solve_consistency_end_to_end():
             rb = b_.values[{'~vector': dim}] if dim else b_.values
             np.testing.assert_allclose(np.asarray(rb.native(rb.shape.names)),
                                        np.asarray(ra.native(ra.shape.names)), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# fused two-sweep Jacobi smoother (interpret mode — runs on CPU)
+# ---------------------------------------------------------------------------
+
+def _ref_sweeps(b, inv_dx2, bc, w, sweeps, zero_init, u0=None):
+    u = w * b if zero_init else u0
+    for _ in range(sweeps - (1 if zero_init else 0)):
+        u = poisson.poisson_apply(u, inv_dx2, bc, b=b, mode='jacobi',
+                                  omega_over_diag=w, use_pallas=False)
+    return u
+
+
+@pytest.mark.parametrize('bc0', ['periodic', 'neumann', 'ghost0'])
+@pytest.mark.parametrize('zero_init,sweeps', [(True, 3), (False, 2), (True, 5), (False, 3)])
+def test_poisson_smooth_matches_loop(bc0, zero_init, sweeps):
+    bc = ((bc0, bc0), ('neumann', 'ghost0'), ('periodic', 'periodic'))
+    rng = np.random.RandomState(11)
+    X, Y, Z = 16, 16, 128
+    b = jnp.asarray(rng.randn(X, Y, Z).astype(np.float32))
+    u0 = None if zero_init else jnp.asarray(rng.randn(X, Y, Z).astype(np.float32))
+    inv_dx2 = (1.0, 0.25, 4.0)
+    w = np.float32(0.9 / (-2 * sum(inv_dx2)))
+    ref = _ref_sweeps(b, inv_dx2, bc, w, sweeps, zero_init, u0)
+    out = poisson.poisson_smooth(u0, b, inv_dx2, bc, w, sweeps, zero_init=zero_init,
+                                 fuse_pairs=True, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_poisson_smooth_single_tile_and_batched():
+    bc = (('periodic', 'periodic'),) * 3
+    rng = np.random.RandomState(5)
+    b = jnp.asarray(rng.randn(2, 8, 8, 128).astype(np.float32))
+    inv_dx2 = (1.0, 1.0, 1.0)
+    w = np.float32(-0.15)
+    ref = _ref_sweeps(b, inv_dx2, bc, w, 3, True)
+    out = poisson.poisson_smooth(None, b, inv_dx2, bc, w, 3, zero_init=True,
+                                 fuse_pairs=True, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize('bc0', ['periodic', 'neumann'])
+def test_poisson_smooth_multi_tile(monkeypatch, bc0):
+    """Force TILE < X so the 4-row x-halo fetch logic is exercised."""
+    orig = poisson._divisor_tile
+    monkeypatch.setattr(poisson, '_divisor_tile',
+                        lambda X, pe, rc, rk, budget_bytes=14 << 20: min(orig(X, pe, rc, rk), 4))
+    bc = ((bc0, bc0), ('neumann', 'ghost0'), ('periodic', 'periodic'))
+    rng = np.random.RandomState(13)
+    b = jnp.asarray(rng.randn(16, 16, 128).astype(np.float32))
+    u0 = jnp.asarray(rng.randn(16, 16, 128).astype(np.float32))
+    inv_dx2 = (1.0, 0.25, 4.0)
+    w = np.float32(0.9 / (-2 * sum(inv_dx2)))
+    for zero_init, sweeps, u in ((True, 3, None), (False, 2, u0)):
+        ref = _ref_sweeps(b, inv_dx2, bc, w, sweeps, zero_init, u)
+        out = poisson.poisson_smooth(u, b, inv_dx2, bc, w, sweeps, zero_init=zero_init,
+                                     fuse_pairs=True, use_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
