@@ -148,7 +148,9 @@ def spatial_gradient(field: Field,
     this is the pressure-gradient path of make_incompressible.
     """
     if field.is_mesh:
-        from ._mesh_math import green_gauss_gradient
+        from ._mesh_math import green_gauss_gradient, least_squares_gradient
+        if scheme in ('least-squares', 'least_squares'):
+            return least_squares_gradient(field, stack_dim=stack_dim, boundary=boundary)
         return green_gauss_gradient(field, stack_dim=stack_dim, boundary=boundary)
     assert field.is_grid, f"spatial_gradient requires a grid, got {type(field.geometry)}"
     grad_ext = as_boundary(boundary, field.geometry) if boundary is not None else field.boundary.spatial_gradient()

@@ -19,7 +19,7 @@ from ..math.extrapolation import Extrapolation, ConstantExtrapolation
 from ..geom._mesh import Mesh
 from ._field import Field
 
-__all__ = ['centroid_to_faces', 'green_gauss_gradient', 'mesh_divergence', 'mesh_laplace',
+__all__ = ['centroid_to_faces', 'green_gauss_gradient', 'least_squares_gradient', 'mesh_divergence', 'mesh_laplace',
            'mesh_advection_differential', 'sample_mesh_field']
 
 
@@ -99,6 +99,60 @@ def green_gauss_gradient(field: Field, stack_dim=channel('vector'), boundary=Non
     labels = mesh.shape.get_labels('vector')
     grad = ops.rename_dims(grad, 'vector', stack_dim.with_size(len(labels), labels)) \
         if stack_dim.dims[0].name != 'vector' else grad
+    out_ext = boundary if boundary is not None else field.boundary.spatial_gradient()
+    return Field(mesh, grad, out_ext)
+
+
+def least_squares_gradient(field: Field, stack_dim=channel('vector'), boundary=None) -> Field:
+    """∇v by weighted least squares over neighbor-center deltas — exact for
+    linear fields at ALL cells, including boundary cells where Green-Gauss
+    degrades (reference declares this scheme but leaves it NotImplemented:
+    phi/field/_field_math.py:499).
+
+    Per cell, minimize Σ_f w_f (Δv_f − g·d_f)² with d_f the center-to-neighbor
+    delta (center-to-face for Dirichlet boundary faces), w_f = 1/|d_f|².
+    The per-cell normal equations (d×d symmetric) are solved in closed form via
+    the adjugate — dense elementwise math over the fixed-degree face table, no
+    per-cell control flow."""
+    mesh: Mesh = field.geometry
+    assert not field.values.shape.channel, "least_squares_gradient expects a scalar field"
+    v_c, v_n, v_dir, interior, dirichlet, valid = _face_value_tables(field)
+    d = interior * (mesh.gather_neighbor(mesh.center) - mesh.center) \
+        + dirichlet * (mesh.face_centers - mesh.center)
+    dv = interior * (v_n - v_c) + dirichlet * (v_dir - v_c)
+    w = (interior + dirichlet) / (ops.sum_(d ** 2, 'vector') + 1e-30)
+    labels = mesh.shape.get_labels('vector')
+    c = {l: d[{'vector': l}] for l in labels}
+    r = {l: ops.sum_(w * c[l] * dv, '~faces') for l in labels}
+    M = {}
+    for i, l1 in enumerate(labels):
+        for l2 in labels[i:]:
+            M[l1 + l2] = ops.sum_(w * c[l1] * c[l2], '~faces')
+    if len(labels) == 2:
+        x, y = labels
+        det = M[x + x] * M[y + y] - M[x + y] ** 2
+        det = det + 1e-12 * (M[x + x] + M[y + y]) + 1e-30
+        g = {x: (M[y + y] * r[x] - M[x + y] * r[y]) / det,
+             y: (M[x + x] * r[y] - M[x + y] * r[x]) / det}
+    elif len(labels) == 3:
+        x, y, z = labels
+        a, b, cc = M[x + x], M[x + y], M[x + z]
+        dd, e, f = M[y + y], M[y + z], M[z + z]
+        A11 = dd * f - e * e
+        A12 = cc * e - b * f
+        A13 = b * e - cc * dd
+        A22 = a * f - cc * cc
+        A23 = b * cc - a * e
+        A33 = a * dd - b * b
+        det = a * A11 + b * A12 + cc * A13
+        det = det + 1e-12 * (a + dd + f) + 1e-30
+        g = {x: (A11 * r[x] + A12 * r[y] + A13 * r[z]) / det,
+             y: (A12 * r[x] + A22 * r[y] + A23 * r[z]) / det,
+             z: (A13 * r[x] + A23 * r[y] + A33 * r[z]) / det}
+    else:
+        raise NotImplementedError(f"least_squares_gradient: {len(labels)}D")
+    grad = ops.stack(g, stack_dim if stack_dim.dims[0].name != 'vector'
+                     else channel(vector=','.join(labels)))
     out_ext = boundary if boundary is not None else field.boundary.spatial_gradient()
     return Field(mesh, grad, out_ext)
 

@@ -301,3 +301,47 @@ def test_sample_mesh_field_at_points():
     expect = 2 * pts.vector['x'] + 3 * pts.vector['y']
     np.testing.assert_allclose(np.asarray(sampled.native('points')),
                                np.asarray(expect.native('points')), atol=2e-2)
+
+
+def test_least_squares_gradient_linear_exact():
+    """LSQ gradient is exact for linear fields at ALL cells — including
+    boundary cells where Green-Gauss (zero-gradient BC) degrades."""
+    from phiflow_tpu.field._mesh_math import least_squares_gradient
+    m = _quad_mesh(6)
+    f = Field(m, lambda pos: 2 * pos.vector['x'] - 1.5 * pos.vector['y'],
+              extrapolation.ZERO_GRADIENT)
+    g = least_squares_gradient(f)
+    gx = np.asarray(g.values[{'vector': 'x'}].native('cells'))
+    gy = np.asarray(g.values[{'vector': 'y'}].native('cells'))
+    np.testing.assert_allclose(gx, 2.0, atol=1e-4)
+    np.testing.assert_allclose(gy, -1.5, atol=1e-4)
+
+
+def test_least_squares_gradient_via_spatial_gradient_scheme():
+    from phiflow_tpu.field._mesh_math import least_squares_gradient
+    m = _quad_mesh(4)
+    f = Field(m, lambda pos: pos.vector['x'] ** 2, extrapolation.ZERO_GRADIENT)
+    via_dispatch = spatial_gradient(f, scheme='least-squares')
+    direct = least_squares_gradient(f)
+    np.testing.assert_allclose(np.asarray(via_dispatch.values.native('cells,vector')),
+                               np.asarray(direct.values.native('cells,vector')), atol=1e-6)
+
+
+def test_least_squares_gradient_3d():
+    from phiflow_tpu.field._mesh_math import least_squares_gradient
+    from phiflow_tpu.geom._mesh import mesh_from_numpy
+    # small 3D hex mesh: 2x2x2 cube cells
+    import itertools
+    n = 3
+    pts = np.array([(x, y, z) for x in range(n) for y in range(n) for z in range(n)], float)
+    def vid(x, y, z): return (x * n + y) * n + z
+    cells = []
+    for x, y, z in itertools.product(range(n - 1), repeat=3):
+        cells.append([vid(x, y, z), vid(x + 1, y, z), vid(x + 1, y + 1, z), vid(x, y + 1, z),
+                      vid(x, y, z + 1), vid(x + 1, y, z + 1), vid(x + 1, y + 1, z + 1), vid(x, y + 1, z + 1)])
+    m = mesh_from_numpy(pts, cells, element_rank=3)
+    f = Field(m, lambda pos: pos.vector['x'] + 2 * pos.vector['y'] - pos.vector['z'],
+              extrapolation.ZERO_GRADIENT)
+    g = least_squares_gradient(f)
+    vals = np.asarray(g.values.native('cells,vector'))
+    np.testing.assert_allclose(vals, np.tile([1.0, 2.0, -1.0], (8, 1)), atol=1e-4)
