@@ -99,7 +99,7 @@ def sample(value, geometry, at: str = 'center', boundary=None, dot_face_normal=N
     # --- Fields ---
     assert isinstance(value, Field), f"cannot sample {type(value)}"
     if value.is_grid:
-        return _sample_grid_field(value, geometry, at, boundary, dot_face_normal)
+        return _sample_grid_field(value, geometry, at, boundary, dot_face_normal, **kwargs)
     if value.is_mesh:  # before is_point_cloud: mesh fields satisfy both flags
         from ._mesh_math import sample_mesh_field
         return sample_mesh_field(value, geometry, at, boundary, dot_face_normal)
@@ -188,7 +188,8 @@ def _sample_at_faces(f_on_grid, geometry, boundary, value):
     return stack(comps, dual(vector=names))
 
 
-def _sample_grid_field(value: Field, geometry, at: str, boundary, dot_face_normal) -> Tensor:
+def _sample_grid_field(value: Field, geometry, at: str, boundary, dot_face_normal,
+                       order: int = 2, implicit=None, **_ignored) -> Tensor:
     from ..geom._geom_ops import GeometryStack
     boundary = boundary if boundary is not None else value.boundary
     if at == 'face' or isinstance(geometry, GeometryStack):
@@ -207,16 +208,17 @@ def _sample_grid_field(value: Field, geometry, at: str, boundary, dot_face_norma
                 comp_value = value.vector[dim] if not value.is_staggered else value.vector[dim]
             else:
                 comp_value = value
-            comps.append(sample_grid_at_centers(comp_value, fg))
+            comps.append(sample_grid_at_centers(comp_value, fg, order=order, implicit=implicit))
         return stack(comps, dual(vector=names))
     # --- centered target ---
     if isinstance(geometry, UniformGrid):
         if value.is_centered and isinstance(value.geometry, UniformGrid) and value.geometry == geometry:
             return value.values
         if value.is_staggered:
-            comps = [sample_grid_at_centers(value.vector[d], geometry) for d in value.resolution.names]
+            comps = [sample_grid_at_centers(value.vector[d], geometry, order=order, implicit=implicit)
+                     for d in value.resolution.names]
             return stack({d: c for d, c in zip(value.resolution.names, comps)}, channel('vector'))
-        return sample_grid_at_centers(value, geometry)
+        return sample_grid_at_centers(value, geometry, order=order, implicit=implicit)
     # sample at arbitrary geometry centers (point clouds etc.)
     points = geometry.center
     if value.is_staggered:
@@ -225,15 +227,19 @@ def _sample_grid_field(value: Field, geometry, at: str, boundary, dot_face_norma
     return sample_grid_at_points(value, points)
 
 
-def sample_grid_at_centers(value: Field, target_grid: UniformGrid) -> Tensor:
+def sample_grid_at_centers(value: Field, target_grid: UniformGrid, order: int = 2,
+                           implicit=None) -> Tensor:
     """Interpolate a (possibly staggered) grid field at the cell centers of
     `target_grid` (reference: phi/field/_resample.py:241). Uses the exact
-    half-cell-shift fast path when grids are aligned, else gather-interpolation."""
+    half-cell-shift fast path when grids are aligned (order>2: high-order
+    compact interpolation matrices, see `_shift_resample`), else
+    gather-interpolation."""
     if value.is_staggered:
-        comps = {d: sample_grid_at_centers(value.vector[d], target_grid) for d in value.resolution.names}
+        comps = {d: sample_grid_at_centers(value.vector[d], target_grid, order, implicit)
+                 for d in value.resolution.names}
         return stack(comps, channel('vector'))
     if _half_shift_alignment(value, target_grid) is not None:
-        return _shift_resample(value, target_grid)
+        return _shift_resample(value, target_grid, order=order, implicit=implicit)
     points = target_grid.center
     return sample_grid_at_points(value, points)
 
@@ -297,16 +303,40 @@ def _half_shift_alignment(value: Field, target_grid: UniformGrid):
     return plan
 
 
-def _shift_resample(value: Field, target_grid: UniformGrid) -> Tensor:
-    """Exact resample between half-cell-shifted aligned grids via pad + 2-point average
-    (reference fast path: phi/field/_resample.py:341)."""
+def _shift_resample(value: Field, target_grid: UniformGrid, order: int = 2,
+                    implicit=None) -> Tensor:
+    """Exact resample between half-cell-shifted aligned grids
+    (reference fast path: phi/field/_resample.py:341).
+
+    order 2 (default): pad + 2-point average. order 4/6: per-axis high-order
+    (compact for order 6) interpolation matrices applied as MXU matmuls —
+    the reference's `_dyadic_interpolate` (phi/field/_resample.py:296)
+    re-designed as trace-time dense operators. Falls back to order 2 along
+    axes whose boundaries cannot be classified."""
+    from ._stencil1d import interp_matrix, apply_axis_matrix, classify_side
     plan = _half_shift_alignment(value, target_grid)
     v = value.values
     ext = value.boundary
+    implicit_order = 2 if order >= 6 else 0
     for dim, p in plan.items():
         if p is None:
             continue
         lp, up = p
+        if order > 2:
+            lo = classify_side(ext, dim, False)
+            hi = classify_side(ext, dim, True)
+            classified = lo is not None and hi is not None and \
+                (('periodic' not in (lo, hi)) or lo == hi)
+            if classified:
+                n = v.shape.get_size(dim)
+                n_out = n + lp + up - 1
+                start = -0.5 if lp == 1 else 0.5
+                M, affine = interp_matrix(n, order, start, n_out, lo, hi,
+                                          implicit_order=implicit_order)
+                axis = v.shape.names.index(dim)
+                native = apply_axis_matrix(v.native(), axis, M, affine)
+                v = Tensor(native, v.shape.with_dim_size(dim, n_out))
+                continue
         padded = ops.pad(v, {dim: (lp, up)}, ext)
         size = padded.shape.get_size(dim)
         v = (padded[{dim: slice(0, size - 1)}] + padded[{dim: slice(1, size)}]) * 0.5

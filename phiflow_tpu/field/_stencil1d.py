@@ -33,7 +33,8 @@ from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-__all__ = ['fd_coefficients', 'derivative_matrix', 'apply_axis_matrix', 'classify_side']
+__all__ = ['fd_coefficients', 'derivative_matrix', 'interp_matrix', 'apply_axis_matrix',
+           'classify_side']
 
 
 def fd_coefficients(offsets: Sequence[float], deriv: int,
@@ -207,6 +208,81 @@ def derivative_matrix(n_in: int, deriv: int, order: int, dx: float,
         affine[row] = aff
     M = np.linalg.solve(L, R) if implicit_order else R
     return (M * inv_h), (np.linalg.solve(L, affine) if implicit_order else affine) * inv_h
+
+
+@functools.lru_cache(maxsize=256)
+def interp_matrix(n_in: int, order: int, start: float, n_out: int,
+                  bc_lo, bc_hi, implicit_order: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """High-order interpolation between half-cell-shifted dual grids as one
+    dense (n_out, n_in) matrix + affine vector — the TPU-native counterpart of
+    the reference's compact `_dyadic_interpolate` (phi/field/_resample.py:296;
+    its tridiagonal solve is folded in at trace time, application is one MXU
+    matmul).
+
+    Inputs at integer coords 0..n_in−1; output i at coord ``start + i`` with
+    start ∈ {−0.5, +0.5}. Covers center→face (n_out = n_in±1, walls at the
+    outermost outputs) and face→center (n_out = n_in−1, outputs strictly
+    inside the data range). Rows:
+      * interior — symmetric window; with ``implicit_order`` the compact
+        scheme of that accuracy (order 6 ⇒ 4-node rhs + tridiagonal lhs).
+      * one-sided — output inside the data range but window clipped: pure
+        polynomial interpolation through the `order` nearest nodes.
+      * wall — output AT the boundary (center→face outer faces): Taylor row
+        constrained by the BC (Dirichlet value / zero normal gradient at the
+        output location itself).
+    """
+    periodic = bc_lo == 'periodic'
+    assert periodic == (bc_hi == 'periodic'), "periodic must apply to both sides"
+    k_int = ((order - implicit_order) if implicit_order else order) // 2
+    int_offsets = [j + 0.5 for j in range(-k_int, k_int)]
+    lhs_offsets = []
+    if implicit_order:
+        k = implicit_order // 2
+        lhs_offsets = [float(j) for j in range(-k, k + 1) if j != 0]
+    c_int, a_int, _ = fd_coefficients(int_offsets, 0, lhs_offsets)
+
+    if periodic:
+        assert n_out == n_in
+        R = np.zeros((n_out, n_in), np.float64)
+        L = np.eye(n_out, dtype=np.float64)
+        for i in range(n_out):
+            for o, c in zip(int_offsets, c_int):
+                R[i, int(round(start + i + o)) % n_in] += c
+            for o, a in zip(lhs_offsets, a_int):
+                L[i, (i + int(o)) % n_out] += a
+        M = np.linalg.solve(L, R) if implicit_order else R
+        return M, np.zeros(n_out, np.float64)
+
+    R = np.zeros((n_out, n_in), np.float64)
+    L = np.eye(n_out, dtype=np.float64)
+    affine = np.zeros(n_out, np.float64)
+    for row in range(n_out):
+        x_out = start + row
+        lo_reach = x_out + int_offsets[0]
+        hi_reach = x_out + int_offsets[-1]
+        lhs_ok = all(0 <= row + int(o) < n_out for o in lhs_offsets)
+        if lo_reach >= 0 and hi_reach <= n_in - 1 and (not implicit_order or lhs_ok):
+            for o, c in zip(int_offsets, c_int):
+                R[row, int(round(x_out + o))] += c
+            for o, a in zip(lhs_offsets, a_int):
+                L[row, row + int(o)] += a
+            continue
+        near_lo = x_out < (n_in - 1) / 2
+        nodes = ([float(j) for j in range(0, min(order, n_in))] if near_lo
+                 else [float(j) for j in range(max(0, n_in - order), n_in)])
+        rel = [nd - x_out for nd in nodes]
+        if -0.5 < x_out < n_in - 0.5:
+            c_row, _, aff = fd_coefficients(rel, 0, ())  # one-sided, inside data
+        else:  # output exactly at a wall: constrain by the boundary condition
+            side = bc_lo if near_lo else bc_hi
+            bc = (0.0, 1, 0.0) if side == 'zero-gradient' else (0.0, 0, float(side[1]))
+            c_row, _, aff = fd_coefficients(rel, 0, (), bc)
+        for nd, c in zip(nodes, c_row):
+            R[row, int(round(nd))] += c
+        affine[row] = aff
+    M = np.linalg.solve(L, R) if implicit_order else R
+    aff_out = np.linalg.solve(L, affine) if implicit_order else affine
+    return M, aff_out
 
 
 def apply_axis_matrix(arr, axis: int, M: np.ndarray, affine: np.ndarray):

@@ -75,7 +75,8 @@ def differential(u: Field, velocity: Field, density: float = 1., order=2, implic
     (reference: advect.py:78)."""
     if u.is_grid and u.is_centered:
         grad = spatial_gradient(u, at='center', order=order, stack_dim=channel('_gradient'))
-        vel_c = velocity.at(u) if (velocity.geometry != u.geometry or velocity.is_staggered) else velocity
+        vel_c = velocity.at(u, order=order, implicit=implicit) \
+            if (velocity.geometry != u.geometry or velocity.is_staggered) else velocity
         comps = [vel_c.values[{'vector': d}] * grad.values[{'_gradient': i}]
                  for i, d in enumerate(u.resolution.names)]
         total = comps[0]
@@ -87,7 +88,7 @@ def differential(u: Field, velocity: Field, density: float = 1., order=2, implic
         for dim in u.resolution.names:
             comp = u.vector[dim]
             grad = spatial_gradient(comp, at='center', order=order, stack_dim=channel('_gradient'))
-            vel_at = sample(velocity, comp.geometry, at='center')
+            vel_at = sample(velocity, comp.geometry, at='center', order=order, implicit=implicit)
             terms = [vel_at[{'vector': d}] * grad.values[{'_gradient': i}]
                      for i, d in enumerate(u.resolution.names)]
             total = terms[0]

@@ -197,3 +197,61 @@ def test_face_gradient_order4_dirichlet():
         vals = np.asarray(comp.values.native(('x', 'y')))[:, 0]
         err = np.max(np.abs(vals - expected))
     assert err < 1e-5, err
+
+
+# ---------------------------------------------------------------------------
+# High-order center<->face interpolation (the reference's _dyadic_interpolate)
+# ---------------------------------------------------------------------------
+
+def _face_interp_err(n, order, periodic):
+    """Max error of center->face interpolation of sin(2πx) on [0,1]."""
+    with math.precision(64):
+        if periodic:
+            ext = extrapolation.PERIODIC
+            fn = lambda pos: math.sin(2 * np.pi * pos.vector['x'])
+            exact = np.sin(2 * np.pi * np.arange(n) / n)
+        else:
+            ext = extrapolation.ZERO  # Dirichlet 0: outer faces are BC-determined
+            fn = lambda pos: math.sin(np.pi * pos.vector['x'])
+            exact = np.sin(np.pi * np.arange(1, n) / n)  # interior faces only
+        f = CenteredGrid(fn, ext, bounds=Box(x=1, y=1), x=n, y=4)
+        faces = f.at_faces(boundary=ext, order=order)
+        arr = np.asarray(faces.values[{'~vector': 'x'}].native('x,y'))[:, 0]
+        return np.abs(arr - exact).max()
+
+
+@pytest.mark.parametrize('periodic', [True, False])
+def test_face_interp_convergence_rates(periodic):
+    for order, min_rate in ((4, 3.5), (6, 5.0)):
+        e1 = _face_interp_err(16, order, periodic)
+        e2 = _face_interp_err(32, order, periodic)
+        rate = np.log2(e1 / e2)
+        assert rate > min_rate, f"order {order}: observed rate {rate:.2f} (e16={e1:.2e}, e32={e2:.2e})"
+
+
+def test_face_interp_quadratic_exact_dirichlet():
+    """Order-6 BC-constrained interpolation reproduces a quadratic exactly at
+    every stored (interior) face, including the one-sided boundary rows."""
+    with math.precision(64):
+        n = 16
+        f = CenteredGrid(lambda pos: pos.vector['x'] * (1 - pos.vector['x']),
+                         extrapolation.ZERO, bounds=Box(x=1, y=1), x=n, y=4)
+        faces = f.at_faces(boundary=extrapolation.ZERO, order=6)
+        arr = np.asarray(faces.values[{'~vector': 'x'}].native('x,y'))[:, 0]
+        x = np.arange(1, n) / n
+        np.testing.assert_allclose(arr, x * (1 - x), atol=1e-12)
+
+
+def test_face_to_center_interp_order6():
+    """Staggered -> centered at order 6: far more accurate than 2-point average."""
+    with math.precision(64):
+        n = 24
+        ext = extrapolation.PERIODIC
+        v = StaggeredGrid(lambda pos: math.sin(2 * np.pi * pos.vector['x']), ext,
+                          bounds=Box(x=1, y=1), x=n, y=8)
+        exact = np.sin(2 * np.pi * (np.arange(n) + 0.5) / n)
+        c2 = v.at_centers(order=2).values[{'vector': 'x'}]
+        c6 = v.at_centers(order=6).values[{'vector': 'x'}]
+        e2 = np.abs(np.asarray(c2.native('x,y'))[:, 0] - exact).max()
+        e6 = np.abs(np.asarray(c6.native('x,y'))[:, 0] - exact).max()
+        assert e6 < e2 / 100, f"order-6 {e6:.2e} vs order-2 {e2:.2e}"
