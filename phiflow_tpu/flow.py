@@ -6,7 +6,7 @@ Usage:
 # --- math ---
 from . import math
 from .math import (
-    Tensor, Shape, batch, spatial, channel, instance, dual,
+    Tensor, Shape, EMPTY_SHAPE, batch, spatial, channel, instance, dual,
     wrap, tensor, vec, stack, unstack, concat, expand, rename_dims, pack_dims, unpack_dim,
     zeros, ones, random_uniform, random_normal, linspace, meshgrid, arange,
     Solve, SolveInfo, SolveTape, solve_linear, solve_nonlinear, minimize,
@@ -22,7 +22,7 @@ from .math.extrapolation import PERIODIC, ZERO_GRADIENT
 from . import geom
 from .geom import (
     Geometry, Point, Sphere, Box, Cuboid, UniformGrid, union, intersection, invert,
-    rotate, scale,
+    rotate, scale, length, squared_length, normalize, cross,
 )
 try:
     from .geom import Cylinder, cylinder
@@ -41,7 +41,7 @@ except ImportError:
 from . import field
 from .field import (
     Field, Grid, CenteredGrid, StaggeredGrid, PointCloud, Noise,
-    HardGeometryMask, SoftGeometryMask, AngularVelocity,
+    HardGeometryMask, SoftGeometryMask, GeometryMask, AngularVelocity,
     resample, sample, reduce_sample, spatial_gradient, divergence, curl, laplace,
     fourier_laplace, fourier_poisson, where, maximum, minimum, vec_length, vec_squared,
     finite_fill, distribute_points, l2_loss, mask, stagger,
