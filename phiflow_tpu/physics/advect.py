@@ -180,14 +180,22 @@ def _warn_if_clamped(displacement: Tensor, field: Field, max_cells: int, caller:
 
 
 def semi_lagrangian(field: Field, velocity: Field, dt: float, integrator=euler,
-                    max_cells: int = 2) -> Field:
+                    max_cells: int = 2, substeps: int = 1) -> Field:
     """Backtrace + interpolate (reference: advect.py:156).
 
     TPU note: with `max_cells=K` (default 2), the backtrace lookup uses bounded
     window-shift interpolation — exact whenever the CFL number ≤ K (displacements
     beyond K cells are clamped; eager mode warns when that happens). Pass
     max_cells=None for the reference's global gather semantics (slow on TPU,
-    needed only for CFL > K)."""
+    needed only for CFL > K), or `substeps=n` to split the step into n
+    semi-Lagrangian applications of dt/n each — keeps per-step displacements
+    inside the window at high CFL while staying on the fast bounded kernel
+    (slightly more diffusive than one exact large-CFL gather, far more accurate
+    than clamping)."""
+    if substeps > 1:
+        for _ in range(substeps):
+            field = semi_lagrangian(field, velocity, dt / substeps, integrator, max_cells)
+        return field
     if field.is_grid and max_cells is not None:
         disp = _displacement(field, velocity, -dt, integrator)
         _warn_if_clamped(disp, field, max_cells, 'semi_lagrangian')

@@ -71,3 +71,25 @@ def test_diffuse_staggered():
     v = StaggeredGrid(Noise(vector='x,y'), extrapolation.PERIODIC, x=16, y=16)
     v1 = diffuse.explicit(v, 0.1, 1.)
     assert v1.is_staggered
+
+
+def test_semi_lagrangian_substeps_high_cfl():
+    """substeps=n keeps per-application displacement inside the bounded window:
+    at CFL≈4, 4 substeps of the K=2 kernel track the unbounded-gather result
+    closely while a single clamped application does not."""
+    import warnings as _w
+    bounds = Box(x=32, y=32)
+    ext = extrapolation.PERIODIC
+    vel = StaggeredGrid((4.0, 0.0), ext, bounds=bounds, x=32, y=32)  # CFL 4 at dt=1
+    smoke = CenteredGrid(lambda pos: math.exp(-0.5 * ((pos.vector['x'] - 16) ** 2
+                                                      + (pos.vector['y'] - 16) ** 2) / 4), ext,
+                         bounds=bounds, x=32, y=32)
+    exact = advect.semi_lagrangian(smoke, vel, 1.0, max_cells=None)       # unbounded gather
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        clamped = advect.semi_lagrangian(smoke, vel, 1.0)                 # clamped at ±2
+    sub = advect.semi_lagrangian(smoke, vel, 1.0, substeps=4)             # 4 × CFL-1 steps
+    err_clamped = float(math.max(abs(clamped.values - exact.values)))
+    err_sub = float(math.max(abs(sub.values - exact.values)))
+    assert err_sub < 1e-5, err_sub          # uniform velocity: substeps land exactly
+    assert err_clamped > 0.1                # clamping visibly wrong at CFL 4
