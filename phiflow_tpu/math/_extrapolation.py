@@ -781,10 +781,31 @@ def domain_slice(ext: Extrapolation, item: dict, domain_dims) -> Extrapolation:
 # --- pytree registration: extrapolations trace through jit (tensor-valued BCs) ---
 import jax as _jax
 
-_jax.tree_util.register_pytree_node(
-    ConstantExtrapolation,
-    lambda e: ((e.value,), None),
-    lambda aux, ch: ConstantExtrapolation(ch[0]))
+def _const_flatten(e):
+    """Keep concrete SCALAR constants static (aux) so boundary classification
+    (e.g. the fused pressure kernel's ghost0 check, ops/poisson.py) stays
+    concrete under jit; tensor-valued / traced constants remain pytree leaves
+    (differentiable BCs)."""
+    v = e.value
+    try:
+        if not v.shape:  # shapeless scalar
+            native = v.native()
+            if isinstance(native, (int, float, bool, _np.number)):
+                return (), native
+            if isinstance(native, _np.ndarray) and native.ndim == 0:
+                return (), native.item()
+    except Exception:
+        pass
+    return (e.value,), None
+
+
+def _const_unflatten(aux, ch):
+    return ConstantExtrapolation(ch[0] if aux is None else wrap(aux))
+
+
+import numpy as _np
+
+_jax.tree_util.register_pytree_node(ConstantExtrapolation, _const_flatten, _const_unflatten)
 
 _jax.tree_util.register_pytree_node(
     _MixedExtrapolation,

@@ -554,6 +554,11 @@ def close(*tensors, rel_tolerance=1e-5, abs_tolerance=0, equal_nan=False) -> boo
     for other in tensors[1:]:
         an, bn, _ = _broadcast(first if not isinstance(first, TensorStack) else first._contiguous(),
                                other if not isinstance(other, TensorStack) else other._contiguous())
+        import jax
+        if isinstance(an, jax.core.Tracer) or isinstance(bn, jax.core.Tracer):
+            # value unknowable at trace time — cannot assert closeness
+            # (matches phiml always_close semantics under jit)
+            return False
         if not np.allclose(np.asarray(an), np.asarray(bn), rtol=rel_tolerance, atol=abs_tolerance, equal_nan=equal_nan):
             return False
     return True
