@@ -162,13 +162,22 @@ def gradient(f: Callable, wrt=0, get_output=True):
     single = len(wrt_idx) == 1
 
     def grad_fn(*args, **kwargs):
+        if param_names is not None and kwargs:
+            # bind keyword arguments into positional order so wrt indices resolve
+            ba = sig.bind(*args, **kwargs)
+            ba.apply_defaults()
+            call_args = [ba.arguments[n] for n in param_names if n in ba.arguments]
+            kwargs = {}
+        else:
+            call_args = list(args)
+
         def wrapped(*wrt_args):
-            full_args = list(args)
+            full_args = list(call_args)
             for i, a in zip(wrt_idx, wrt_args):
                 full_args[i] = a
             return _loss_and_aux(f, full_args, kwargs)
         vg = jax.value_and_grad(wrapped, argnums=tuple(range(len(wrt_idx))), has_aux=True)
-        (scalar, (loss, aux)), grads = vg(*[args[i] for i in wrt_idx])
+        (scalar, (loss, aux)), grads = vg(*[call_args[i] for i in wrt_idx])
         grads = grads[0] if single else list(grads)
         if get_output:
             if aux:
@@ -176,6 +185,11 @@ def gradient(f: Callable, wrt=0, get_output=True):
             return (loss, grads) if single else (loss, *grads)
         return grads
 
+    try:  # expose f's signature so jit_compile(gradient(f)) binds arguments by name
+        grad_fn.__signature__ = sig
+        grad_fn.__name__ = f"gradient({getattr(f, '__name__', 'f')})"
+    except (NameError, AttributeError):
+        pass
     return grad_fn
 
 
