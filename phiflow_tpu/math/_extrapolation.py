@@ -790,16 +790,23 @@ def _const_flatten(e):
     try:
         if not v.shape:  # shapeless scalar
             native = v.native()
-            if isinstance(native, (int, float, bool, _np.number)):
-                return (), native
             if isinstance(native, _np.ndarray) and native.ndim == 0:
-                return (), native.item()
+                native = native.item()
+            if isinstance(native, (int, float, bool, _np.number)):
+                # NaN aux data breaks jit-cache equality (NaN != NaN ⇒ treedef
+                # mismatch ⇒ retrace every call). FLIP's NAN-outside particle
+                # boundary hits this; encode NaN as a comparable sentinel.
+                if isinstance(native, (float, _np.floating)) and _np.isnan(native):
+                    return (), '__nan__'
+                return (), native
     except Exception:
         pass
     return (e.value,), None
 
 
 def _const_unflatten(aux, ch):
+    if aux == '__nan__':
+        return ConstantExtrapolation(wrap(float('nan')))
     return ConstantExtrapolation(ch[0] if aux is None else wrap(aux))
 
 

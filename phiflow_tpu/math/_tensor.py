@@ -520,7 +520,20 @@ def _keep_host(result, *inputs):
     the axon TPU backend cannot fetch device arrays during lowering."""
     if isinstance(result, jax.Array) and not isinstance(result, jax.core.Tracer):
         if all(isinstance(i, (np.ndarray, np.generic, int, float, bool, complex)) for i in inputs):
-            return np.asarray(result)
+            result = np.asarray(result)
+    if isinstance(result, (np.ndarray, np.generic)):
+        # numpy NEP-50 promotion widens f32⋆i32 → f64 (and i32/i32 → f64);
+        # jax would give f32. Keep host math at the session precision so
+        # eager-host state matches jit-traced state dtype-for-dtype (a f64
+        # leaf in a model state forces an extra jit trace).
+        if result.dtype == np.float64 and get_precision() != 64 \
+                and not any(getattr(i, 'dtype', None) == np.float64 for i in inputs):
+            result = result.astype(np.float32)
+        elif result.dtype == np.int64 and not any(getattr(i, 'dtype', None) == np.int64 for i in inputs):
+            result = result.astype(np.int32)
+        elif result.dtype == np.complex128 and get_precision() != 64 \
+                and not any(getattr(i, 'dtype', None) == np.complex128 for i in inputs):
+            result = result.astype(np.complex64)
     return result
 
 

@@ -24,7 +24,8 @@ class Burgers:
                                bounds=bounds, **sizes) * 2
 
     def initial_state(self):
-        return (self.v0,)
+        from . import to_device
+        return to_device((self.v0,))
 
     def step(self, v):
         v = advect.semi_lagrangian(v, v, self.dt)

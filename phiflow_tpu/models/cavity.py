@@ -26,10 +26,16 @@ class LidDrivenCavity:
         # no-slip walls; lid (y+) moves with lid_speed in x
         boundary = {'x-': 0., 'x+': 0., 'y-': 0., 'y+': vec(x=lid_speed, y=0.)}
         self.v0 = StaggeredGrid(0., extrapolation.combine_sides(**boundary), bounds=bounds, x=r, y=r)
+        # zero initial pressure with the BC make_incompressible would derive, so the
+        # state treedef is identical from step 0 on (x0=None would retrace once)
+        from ..field import CenteredGrid
+        from ..physics.fluid import _pressure_extrapolation
+        self.p0 = CenteredGrid(0., _pressure_extrapolation(self.v0.boundary), bounds=bounds, x=r, y=r)
         self.obstacles = [Obstacle(Sphere(x=r / 2, y=r / 2, radius=r / 8))] if obstacle else []
 
     def initial_state(self):
-        return self.v0, None
+        from . import to_device
+        return to_device((self.v0, self.p0))
 
     def step(self, v, p):
         v = advect.semi_lagrangian(v, v, self.dt)

@@ -27,7 +27,8 @@ class FlipLiquid:
             points_per_cell=points_per_cell) * (0, 0)
 
     def initial_state(self):
-        return (self.particles0,)
+        from . import to_device
+        return to_device((self.particles0,))
 
     def step(self, particles):
         r = self.resolution

@@ -37,7 +37,8 @@ class KolmogorovFlow:
         self.p0 = CenteredGrid(0., extrapolation.PERIODIC, x=resolution, y=resolution, bounds=bounds)
 
     def initial_state(self):
-        return self.v0, self.p0
+        from . import to_device
+        return to_device((self.v0, self.p0))
 
     def pde(self, v: Field) -> Field:
         adv = advect.differential(v, v, order=min(self.order, 4) if not _periodic_only(v) else self.order)

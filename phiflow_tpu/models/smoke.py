@@ -65,17 +65,22 @@ class SmokePlume:
         return smoke.with_values(Tensor(frac, smoke.resolution))
 
     def initial_state(self) -> Tuple[Field, Field, Field]:
-        return self.velocity0, self.smoke0, self.pressure0
+        from . import to_device
+        return to_device((self.velocity0, self.smoke0, self.pressure0))
 
     def advect_smoke(self, velocity: Field, smoke: Field) -> Field:
-        """Phase 1: MacCormack smoke advection + soft inflow."""
-        return advect.mac_cormack(smoke, velocity, self.dt, max_cells=self.max_cells) + \
+        """Phase 1: MacCormack smoke advection + soft inflow. substeps='auto'
+        keeps the bounded-window lookup exact when the plume accelerates past
+        CFL=max_cells (in-graph decision, no-op at low CFL)."""
+        return advect.mac_cormack(smoke, velocity, self.dt, max_cells=self.max_cells,
+                                  substeps='auto', max_substeps=3) + \
             self.inflow_rate * self._inflow_mask_values(smoke)
 
     def advect_velocity(self, velocity: Field, smoke: Field) -> Field:
         """Phase 2: buoyancy + semi-Lagrangian self-advection."""
         buoyancy = resample(smoke * self.buoyancy_dir, to=velocity)
-        return advect.semi_lagrangian(velocity, velocity, self.dt, max_cells=self.max_cells) + buoyancy * self.dt
+        return advect.semi_lagrangian(velocity, velocity, self.dt, max_cells=self.max_cells,
+                                      substeps='auto', max_substeps=3) + buoyancy * self.dt
 
     def project(self, velocity: Field, pressure: Optional[Field]):
         """Phase 3: pressure projection (MG-preconditioned CG)."""
