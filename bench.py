@@ -44,6 +44,37 @@ def _time_fn(fn, args, steps, sync):
     return (time.perf_counter() - t0) / steps, out
 
 
+def _retrace_guard(jitted, label):
+    """Snapshot the jit cache size post-warmup; calling the returned check after
+    the timed loop raises if the cache grew — a growing cache means the model
+    re-traces (and on TPU re-fetches executables) EVERY step, so every timing
+    below it would be silently wrong (this shipped a 100x-wrong FLIP number in
+    BENCH_r02.json)."""
+    size0 = jitted._cache_size()
+
+    def check():
+        size1 = jitted._cache_size()
+        if size1 != size0:
+            raise RuntimeError(
+                f"{label}: jit cache grew {size0} -> {size1} during the timed loop — per-step retrace")
+    return check
+
+
+def _dispatch_overhead_ms(jax, n=20):
+    """Per-call dispatch+sync overhead through the runtime (axon tunnel: ~12-15 ms).
+    Phase timings below ~3x this number measure the tunnel, not the kernel."""
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    x = f(x)
+    _hard_sync(x)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        x = f(x)
+    _hard_sync(x)
+    return (time.perf_counter() - t0) / n * 1000
+
+
 def run_bench(resolution: int, dims: int = 3, steps: int = 20, warmup: int = 3, cg_tol: float = 1e-3,
               max_iterations: int = 100, phases: bool = True):
     jax = _setup_jax()
@@ -53,9 +84,18 @@ def run_bench(resolution: int, dims: int = 3, steps: int = 20, warmup: int = 3, 
     model = SmokePlume(resolution=resolution, dims=dims, cg_tol=cg_tol, max_iterations=max_iterations)
     v, s, p = model.initial_state()
 
+    # batch several physics steps into one dispatch at small sizes — the axon
+    # tunnel costs ~12 ms per call, comparable to the whole step below 128³
+    steps_per_call = 4 if resolution <= 128 else 1
+
+    def multi_step(v, s, p):
+        for _ in range(steps_per_call):
+            v, s, p = model.step(v, s, p)
+        return v, s, p
+
     # donate the state buffers: XLA reuses them for the outputs, halving the
     # resident state footprint (critical at 512³ where velocity alone is 1.6GB)
-    step = jax.jit(model.step, donate_argnums=(0, 1, 2))
+    step = jax.jit(multi_step, donate_argnums=(0, 1, 2))
     t_compile = time.perf_counter()
     # warmup: ≥2 calls — the state pytree structure stabilizes after the first step
     for _ in range(max(warmup, 2)):
@@ -63,14 +103,17 @@ def run_bench(resolution: int, dims: int = 3, steps: int = 20, warmup: int = 3, 
     _hard_sync(s)
     t_compile = time.perf_counter() - t_compile
 
+    check_retrace = _retrace_guard(step, f'smoke {resolution}^{dims}')
+    calls = max(1, steps // steps_per_call)
     t0 = time.perf_counter()
     vv, ss, pp = v, s, p
-    for _ in range(steps):
+    for _ in range(calls):
         vv, ss, pp = step(vv, ss, pp)
     _hard_sync(ss)
     elapsed = time.perf_counter() - t0
+    check_retrace()
     v, s, p = vv, ss, pp  # donated inputs are invalid; keep only the live state
-    per_step = elapsed / steps
+    per_step = elapsed / (calls * steps_per_call)
     cells = resolution ** dims
     result = {
         'resolution': resolution,
@@ -79,6 +122,25 @@ def run_bench(resolution: int, dims: int = 3, steps: int = 20, warmup: int = 3, 
         'cells_per_sec': cells / per_step,
         'compile_s': t_compile,
     }
+    # --- CFL certification: the headline number must bench UNCLAMPED physics ---
+    # (the window kernel clamps |disp| > max_cells; auto-substeps extend exactness
+    # to max_cells * max_substeps — certify we stay inside that envelope)
+    try:
+        import numpy as _np
+        from phiflow_tpu.physics import advect as _advect
+        probe = jax.jit(lambda v, s: (_advect.max_displacement_cells(s, v, model.dt),
+                                      _advect.max_displacement_cells(v, v, model.dt)))
+        m_smoke, m_vel = probe(v, s)
+        max_disp = max(float(_np.asarray(m_smoke)), float(_np.asarray(m_vel)))
+        result['max_disp_cells'] = round(max_disp, 3)
+        envelope = model.max_cells * 3  # max_substeps=3 in SmokePlume advection
+        result['certified_unclamped'] = bool(max_disp <= envelope)
+        if max_disp > envelope:
+            sys.stderr.write(f"WARNING bench {resolution}^{dims}: max displacement {max_disp:.2f} cells "
+                             f"exceeds the exact envelope {envelope} — timings bench clamped physics!\n")
+    except Exception as exc:
+        sys.stderr.write(f"CFL probe failed at {resolution}^{dims}: {type(exc).__name__}: {exc}\n")
+
     if phases:
         # --- per-phase timings on the post-warmup state (realistic fields) ---
         import numpy as np
@@ -121,15 +183,25 @@ def run_kolmogorov(resolution: int = 512, steps: int = 10, warmup: int = 2, orde
     from phiflow_tpu.models import KolmogorovFlow
     model = KolmogorovFlow(resolution=resolution, order=order, dt=0.002)
     v, p = model.initial_state()
-    step = jax.jit(model.step)
+    steps_per_call = 4
+
+    def multi_step(v, p):
+        for _ in range(steps_per_call):
+            v, p = model.step(v, p)
+        return v, p
+
+    step = jax.jit(multi_step)
     for _ in range(max(warmup, 2)):
         v, p = step(v, p)
     _hard_sync(v)
+    check_retrace = _retrace_guard(step, f'kolmogorov {resolution}^2')
+    calls = max(1, steps // steps_per_call)
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(calls):
         v, p = step(v, p)
     _hard_sync(v)
-    per_step = (time.perf_counter() - t0) / steps
+    per_step = (time.perf_counter() - t0) / (calls * steps_per_call)
+    check_retrace()
     return {'resolution': resolution, 'order': order, 'per_step_ms': per_step * 1000,
             'cells_per_sec': resolution ** 2 / per_step}
 
@@ -143,15 +215,25 @@ def run_flip(resolution: int = 128, steps: int = 10, warmup: int = 2):
     model = FlipLiquid(resolution=resolution, points_per_cell=4)
     (particles,) = model.initial_state()
     n_particles = particles.geometry.center.shape.instance.volume
-    step = jax.jit(model.step)
+    steps_per_call = 4
+
+    def multi_step(particles):
+        for _ in range(steps_per_call):
+            (particles,) = model.step(particles)
+        return particles
+
+    step = jax.jit(multi_step)
     for _ in range(max(warmup, 2)):
-        (particles,) = step(particles)
+        particles = step(particles)
     _hard_sync(particles.geometry.center)
+    check_retrace = _retrace_guard(step, f'flip {resolution}^2')
+    calls = max(1, steps // steps_per_call)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        (particles,) = step(particles)
+    for _ in range(calls):
+        particles = step(particles)
     _hard_sync(particles.geometry.center)
-    per_step = (time.perf_counter() - t0) / steps
+    per_step = (time.perf_counter() - t0) / (calls * steps_per_call)
+    check_retrace()
     return {'resolution': resolution, 'n_particles': int(n_particles),
             'per_step_ms': per_step * 1000}
 
@@ -159,6 +241,13 @@ def run_flip(resolution: int = 128, steps: int = 10, warmup: int = 2):
 def main():
     jax = _setup_jax()
     results = {}
+    dispatch_ms = None
+    try:
+        dispatch_ms = _dispatch_overhead_ms(jax)
+        sys.stderr.write(f"per-call dispatch overhead: {dispatch_ms:.1f} ms "
+                         f"(phase timings below ~{3 * dispatch_ms:.0f} ms measure the tunnel, not the kernel)\n")
+    except Exception as exc:
+        sys.stderr.write(f"dispatch overhead probe failed: {type(exc).__name__}: {exc}\n")
     # Kolmogorov first: it is small; running it after a 512³ OOM inherits a
     # fragmented heap
     kolmogorov = None
@@ -208,6 +297,10 @@ def main():
         'phases': {f"{k}^3": {kk: (round(vv, 2) if isinstance(vv, float) else vv)
                               for kk, vv in val.get('phases', {}).items()}
                    for k, val in results.items()},
+        'dispatch_overhead_ms': round(dispatch_ms, 2) if dispatch_ms is not None else None,
+        'cfl': {f"{k}^3": {'max_disp_cells': val.get('max_disp_cells'),
+                           'certified_unclamped': val.get('certified_unclamped')}
+                for k, val in results.items() if 'max_disp_cells' in val},
         'kolmogorov_512^2_order6': ({'per_step_ms': round(kolmogorov['per_step_ms'], 2)}
                                     if kolmogorov else None),
         'flip_128^2': ({'per_step_ms': round(flip['per_step_ms'], 2),

@@ -19,7 +19,7 @@ from ..field import Field, PointCloud, spatial_gradient, sample, reduce_sample, 
 from ..field._resample import sample_grid_at_points
 
 __all__ = ['euler', 'rk4', 'finite_rk4', 'advect', 'differential', 'finite_difference',
-           'points', 'semi_lagrangian', 'mac_cormack']
+           'points', 'semi_lagrangian', 'mac_cormack', 'max_displacement_cells']
 
 
 def _sample_velocity(velocity: Field, field: Field) -> Tensor:
@@ -153,6 +153,59 @@ def _window_interp_field(field: Field, displacement: Tensor, max_cells: int, ext
     return shift_window_interp(field.values, disp, field.boundary, max_cells, compute_extrema=extrema)
 
 
+def _max_disp_cells(displacement: Tensor, field: Field):
+    """Traced scalar (jnp, f32): max |displacement| in CELL units over every
+    component and axis — safe to compute inside jit (unlike _warn_if_clamped)."""
+    import functools
+    import jax.numpy as jnp
+    if field.is_staggered and '~vector' in displacement.shape:
+        items = [displacement[{'~vector': d}] for d in field.resolution.names]
+    else:
+        items = [displacement]
+    maxima = []
+    for it in items:
+        cells = it / field.dx  # per-axis cell units ('vector'-channel division)
+        t = cells._contiguous() if hasattr(cells, '_contiguous') else cells
+        natives = [c.native() for c in t.components] if hasattr(t, 'components') else [t.native()]
+        for n in natives:
+            maxima.append(jnp.max(jnp.abs(n)).astype(jnp.float32))
+    return functools.reduce(jnp.maximum, maxima)
+
+
+def max_displacement_cells(field: Field, velocity: Field, dt, integrator=euler):
+    """In-graph CFL probe: the largest backtrace displacement (in cells) that
+    `semi_lagrangian(field, velocity, dt)` would look up. Returns a traced jnp
+    scalar, so it can certify inside jit that the bounded window interpolation
+    (|disp| ≤ max_cells) is exact — bench.py records this for the headline run."""
+    disp = _displacement(field, velocity, -dt, integrator)
+    return _max_disp_cells(disp, field)
+
+
+def _auto_substep(field: Field, velocity: Field, dt, max_cells: int, max_substeps: int,
+                  integrator, single_step):
+    """Split the step into n = ceil(max|disp|/max_cells) substeps, decided
+    IN-GRAPH (clamped to max_substeps), so window-bounded advection stays exact
+    at any CFL under jit. Uses a static-length scan with a cond-skipped body:
+    reverse-mode differentiable, and skipped substeps execute only the identity
+    branch."""
+    import jax
+    import jax.numpy as jnp
+    disp = _displacement(field, velocity, -dt, integrator)
+    m = _max_disp_cells(disp, field)
+    n = jnp.clip(jnp.ceil(m / max_cells), 1, max_substeps).astype(jnp.int32)
+    nf = n.astype(jnp.float32)
+
+    def body(vals, i):
+        def advance(v):
+            return single_step(field.with_values(v), dt / nf).values
+
+        new_vals = jax.lax.cond(i < n, advance, lambda v: v, vals)
+        return new_vals, None
+
+    vals, _ = jax.lax.scan(body, field.values, jnp.arange(max_substeps))
+    return field.with_values(vals)
+
+
 def _warn_if_clamped(displacement: Tensor, field: Field, max_cells: int, caller: str):
     """Eager-mode CFL guard: warn when the bounded window interpolation would
     clamp the backtrace (|disp| > max_cells·dx). Traced values are skipped —
@@ -180,18 +233,24 @@ def _warn_if_clamped(displacement: Tensor, field: Field, max_cells: int, caller:
 
 
 def semi_lagrangian(field: Field, velocity: Field, dt: float, integrator=euler,
-                    max_cells: int = 2, substeps: int = 1) -> Field:
+                    max_cells: int = 2, substeps=1, max_substeps: int = 4) -> Field:
     """Backtrace + interpolate (reference: advect.py:156).
 
     TPU note: with `max_cells=K` (default 2), the backtrace lookup uses bounded
     window-shift interpolation — exact whenever the CFL number ≤ K (displacements
     beyond K cells are clamped; eager mode warns when that happens). Pass
     max_cells=None for the reference's global gather semantics (slow on TPU,
-    needed only for CFL > K), or `substeps=n` to split the step into n
+    needed only for CFL > K), `substeps=n` to split the step into n
     semi-Lagrangian applications of dt/n each — keeps per-step displacements
     inside the window at high CFL while staying on the fast bounded kernel
     (slightly more diffusive than one exact large-CFL gather, far more accurate
-    than clamping)."""
+    than clamping) — or `substeps='auto'` to pick n = ceil(max|disp|/K) IN-GRAPH
+    (≤ `max_substeps`), which keeps the scheme exact at any CFL ≤ K·max_substeps
+    under jit with no Python-side control flow."""
+    if substeps == 'auto':
+        assert field.is_grid and max_cells is not None, "substeps='auto' requires the bounded window path"
+        return _auto_substep(field, velocity, dt, max_cells, max_substeps, integrator,
+                             lambda f, dt_sub: semi_lagrangian(f, velocity, dt_sub, integrator, max_cells))
     if substeps > 1:
         for _ in range(substeps):
             field = semi_lagrangian(field, velocity, dt / substeps, integrator, max_cells)
@@ -207,11 +266,22 @@ def semi_lagrangian(field: Field, velocity: Field, dt: float, integrator=euler,
 
 
 def mac_cormack(field: Field, velocity: Field, dt: float, correction_strength=1.0, integrator=euler,
-                max_cells: int = 2) -> Field:
+                max_cells: int = 2, substeps=1, max_substeps: int = 4) -> Field:
     """MacCormack advection with monotonicity clamp (reference: advect.py:182-215).
 
     TPU note: `max_cells` as in `semi_lagrangian` — bounded window-shift
-    interpolation with the 2^d-corner clamp fused into the same window pass."""
+    interpolation with the 2^d-corner clamp fused into the same window pass.
+    `substeps='auto'` splits the step in-graph when CFL > max_cells (see
+    `semi_lagrangian`)."""
+    if substeps == 'auto':
+        assert field.is_grid and max_cells is not None, "substeps='auto' requires the bounded window path"
+        return _auto_substep(field, velocity, dt, max_cells, max_substeps, euler,
+                             lambda f, dt_sub: mac_cormack(f, velocity, dt_sub, correction_strength,
+                                                           integrator, max_cells))
+    if substeps != 1:
+        for _ in range(substeps):
+            field = mac_cormack(field, velocity, dt / substeps, correction_strength, integrator, max_cells)
+        return field
     v0 = _sample_velocity(velocity, field)
     if field.is_grid and max_cells is not None:
         disp_bwd = _displacement(field, velocity, -dt, integrator, v0=v0)
