@@ -20,3 +20,4 @@ from ._mesh import (
     simulation_mesh,
 )
 from ._halo import halo_exchange_spec
+from ._context import decomposition, set_decomposition, current_decomposition

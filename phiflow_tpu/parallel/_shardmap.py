@@ -222,7 +222,7 @@ def _make_kit(mesh: Mesh, axes: Dict[str, str], template,
 
     use_mg = len(mg_levels) > 0 or coarse_res != tuple(res)
 
-    def cg(b):
+    def cg(b, x0=None):
         b = b - _mean_psum(b, spatial_axis_names, n_cells)  # project out the nullspace
         b_norm_sq = psum_dot(b, b)
         tol_sq = jnp.maximum(abs_tol, rel_tol * jnp.sqrt(b_norm_sq)) ** 2
@@ -233,8 +233,12 @@ def _make_kit(mesh: Mesh, axes: Dict[str, str], template,
             z = vcycle(r)
             return z - _mean_psum(z, spatial_axis_names, n_cells)
 
-        x = jnp.zeros_like(b)
-        r = b
+        if x0 is None:
+            x = jnp.zeros_like(b)
+            r = b
+        else:
+            x = x0 - _mean_psum(x0, spatial_axis_names, n_cells)
+            r = b - laplace_block(x)
         z = M(r)
         p = z
         rz = psum_dot(r, z)
@@ -259,7 +263,11 @@ def _make_kit(mesh: Mesh, axes: Dict[str, str], template,
         return x, it
 
     def project_blocks(*u_blocks):
-        """Runs inside shard_map: uniform face blocks → (projected blocks, p, iters)."""
+        """Runs inside shard_map: uniform face blocks → (projected blocks, p, iters).
+        An optional extra trailing block is the pressure warm start (x0)."""
+        p0 = None
+        if len(u_blocks) == ndim + 1:
+            u_blocks, p0 = u_blocks[:ndim], u_blocks[ndim]
         # --- divergence: needs the UPPER face of each cell: right halo of U_d ---
         div = None
         for i, d in enumerate(dims):
@@ -273,7 +281,7 @@ def _make_kit(mesh: Mesh, axes: Dict[str, str], template,
             idx_hi = [slice(2, None) if j == i else slice(None) for j in range(ndim)]
             term = (uh[tuple(idx_hi)] - uh[tuple(idx_lo)]) * np.float32(inv_dx[i])
             div = term if div is None else div + term
-        p, iters = cg(div)
+        p, iters = cg(div, x0=p0)
         # --- pressure gradient at faces: face i needs p[i] − p[i−1]: left halo ---
         ph = halo_exchange(p, p_specs, width=1)
         out = []
@@ -347,6 +355,63 @@ def make_sharded_projection(mesh: Mesh, axes: Dict[str, str], template,
         return v_out, p_field
 
     return jax.jit(project)
+
+
+def sharded_make_incompressible(dd, velocity, solve):
+    """Public-API dispatch target: `fluid.make_incompressible` routes here when
+    a `parallel.decomposition(...)` is active. Runs the one-shot explicit
+    projection (ppermute halos + psum'd MG-CG) inside the CALLER's trace.
+
+    Returns (velocity', pressure), or None when the problem does not fit the
+    explicit path (non-staggered / non-uniform grid, unclassifiable or traced
+    boundaries, batch dims, indivisible shard counts) — the caller then falls
+    back to the GSPMD solver, so dispatch is always safe.
+    """
+    from ..geom._grid import UniformGrid
+    from ..math import Tensor, spatial
+    from ..field import Field
+    f = velocity
+    if not (f.is_grid and f.is_staggered and isinstance(f.geometry, UniformGrid)):
+        return None
+    if f.values.shape.batch:
+        return None  # batch: GSPMD shards the batch axis natively
+    dims = tuple(f.resolution.names)
+    mesh, axes = dd.mesh, dd.axes
+    try:
+        for d in dims:
+            bc_lo, bc_hi = _classify_velocity_axis(f, d)
+            for m in (bc_lo, bc_hi):  # constants must be concrete to embed in halo fills
+                if isinstance(m, tuple):
+                    float(m[1])
+    except Exception:
+        return None
+    for d in dims:
+        a = axes.get(d)
+        if a and int(f.resolution.get_size(d)) % mesh.shape[a] != 0:
+            return None
+    solve = solve.with_defaults('solve')
+    try:
+        kit = _make_kit(mesh, axes, f, rel_tol=solve.rel_tol, abs_tol=solve.abs_tol,
+                        max_iterations=solve.max_iterations)
+    except Exception:
+        return None
+    ndim = len(dims)
+    specs_in = tuple(kit.in_spec for _ in range(ndim + 1))  # faces + pressure warm start
+    specs_out = tuple(kit.in_spec for _ in range(ndim)) + (kit.in_spec, PartitionSpec())
+    sharded = jax.shard_map(kit.project_blocks, mesh=mesh, in_specs=specs_in,
+                            out_specs=specs_out, check_vma=False)
+    arrays = uniform_staggered(f, template=f)
+    dtype = arrays[dims[0]].dtype
+    if isinstance(solve.x0, Field) and solve.x0.values.shape.spatial:
+        p0 = solve.x0.values.native(dims)
+        p0 = jnp.broadcast_to(p0, kit.res).astype(dtype)
+    else:
+        p0 = jnp.zeros(kit.res, dtype)
+    results = sharded(*[arrays[d] for d in dims], p0)
+    v_out = staggered_from_uniform({d: results[i] for i, d in enumerate(dims)}, f)
+    p_field = Field(f.geometry, Tensor(results[ndim], spatial(**dict(zip(dims, kit.res)))),
+                    _pressure_ext(f))
+    return v_out, p_field
 
 
 def _uniform_from_logical_batched(comps: Dict[str, jnp.ndarray], template, dims):

@@ -105,6 +105,17 @@ def make_incompressible(velocity: Field,
     (reference: fluid.py:94-162; call stack SURVEY.md §3.2)."""
     obstacles = _get_obstacles_for(obstacles, velocity)
     assert order <= 2 or len(obstacles) == 0, "obstacles require order=2"
+    # --- explicit domain-decomposition path (parallel.decomposition active) ---
+    # same public entry point from 1 chip to a full slice: ppermute halo rings +
+    # psum'd MG-CG instead of GSPMD auto-partitioning (SURVEY.md §2.7)
+    if not obstacles and active is None and order == 2 and velocity.is_staggered:
+        from ..parallel._context import current_decomposition
+        dd = current_decomposition()
+        if dd is not None:
+            from ..parallel._shardmap import sharded_make_incompressible
+            result = sharded_make_incompressible(dd, velocity, solve)
+            if result is not None:
+                return result
     input_velocity = velocity
     # --- obstacle masks ---
     all_active = active is None
