@@ -29,7 +29,12 @@ def _hard_sync(*fields):
     out = 0.0
     for f in fields:
         t = f.values if hasattr(f, 'values') else f
-        natives = [c.native() for c in t.components] if hasattr(t, 'components') else [t.native()]
+        if hasattr(t, 'components'):
+            natives = [c.native() for c in t.components]
+        elif hasattr(t, 'native'):
+            natives = [t.native()]
+        else:
+            natives = [t]  # raw jax array
         out += sum(float(np.asarray(jnp.sum(n))) for n in natives)
     return out
 

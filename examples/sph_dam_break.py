@@ -1,92 +1,30 @@
-"""SPH dam break (reference: phi/physics/sph.py kernels + neighbor search;
-particle scale uses the cell-list search, math/_neighbors.py).
+"""SPH dam break driven end-to-end through the framework SPH stack
+(reference workloads: phi/physics/sph.py + examples/particles SPH notebooks).
 
-A block of weakly-compressible SPH particles collapses under gravity inside a
-box. Density from the Wendland-C2 kernel sum, Tait pressure, symmetric pressure
-force, boundary penalty walls."""
+N = 10,000 weakly-compressible particles collapse under gravity in a unit box.
+Every physics term is a library call on named tensors: cell-list
+`sph.neighbor_graph`, summation `sph.density`, `sph.tait_pressure`,
+symmetric `sph.pressure_acceleration` (models/sph_dam.py)."""
 import _path  # noqa: F401
 import numpy as np
 import jax
-import jax.numpy as jnp
 
-from phiflow_tpu.math import Tensor, instance, channel
-from phiflow_tpu.math._shape import Shape, Dim
-from phiflow_tpu.math._neighbors import cell_list_neighbors
-from phiflow_tpu.physics import sph
+from phiflow_tpu.models import SphDamBreak
 
-# --- particle block in the left third of a unit box ---
-nx, ny = 40, 80
-dx = 0.008
-X, Y = np.meshgrid(np.arange(nx) * dx + 0.05, np.arange(ny) * dx + 0.05, indexing='ij')
-pos = np.stack([X.ravel(), Y.ravel()], -1).astype(np.float32)
-N = pos.shape[0]
-vel = np.zeros_like(pos)
-h = 2.5 * dx          # support radius
-mass = 1.0
-c0, gamma = 12.0, 7.0  # Tait EOS
-GRAV = np.array([0.0, -9.81], np.float32)
-
-
-def wendland(r, h):
-    q = jnp.clip(r / h, 0.0, 1.0)
-    alpha = 7.0 / (np.pi * h ** 2)
-    return alpha * (1 - q) ** 4 * (4 * q + 1)
-
-
-def wendland_grad_mag(r, h):
-    q = jnp.clip(r / h, 0.0, 1.0)
-    alpha = 7.0 / (np.pi * h ** 2)
-    return alpha * (-20.0) * q * (1 - q) ** 3 / h
-
-
-def density(pos):
-    idx, deltas, mask = cell_list_neighbors(pos, h, [0., 0.], [1., 1.], capacity=32)
-    r = jnp.sqrt(jnp.sum(deltas ** 2, -1) + 1e-12)
-    W = jnp.where(mask, wendland(r, h), 0.0)
-    return mass * (wendland(jnp.zeros(()), h) + jnp.sum(W, 1))
-
-
-# calibrate the rest density to the DISCRETE kernel sum of the initial packing
-# (the continuum estimate 1/dx² is off by a few %, which the stiff Tait EOS
-# amplifies into spurious pressure shocks)
-rho0 = float(jnp.quantile(density(jnp.asarray(pos)), 0.9))
-
-
-@jax.jit
-def step(pos, vel):
-    dt = 2e-4
-    idx, deltas, mask = cell_list_neighbors(pos, h, [0., 0.], [1., 1.], capacity=32)
-    r = jnp.sqrt(jnp.sum(deltas ** 2, -1) + 1e-12)
-    rho = density(pos)
-    P = (c0 ** 2 * rho0 / gamma) * ((rho / rho0) ** gamma - 1.0)
-    P = jnp.maximum(P, 0.0)  # no tensile instability
-    # symmetric pressure acceleration: −m Σ (P_i/ρ_i² + P_j/ρ_j²) ∇W_ij
-    safe = jnp.where(mask, idx, 0)
-    P_over_rho2 = P / rho ** 2
-    pair = P_over_rho2[:, None] + P_over_rho2[safe]
-    gradW = wendland_grad_mag(r, h)
-    dir_ij = deltas / r[..., None]
-    # a_i = −m Σ pair ∇_i W;  ∇_i W = (dW/dr)·(−dir_ij) with dW/dr < 0,
-    # so the repulsive pressure force is +m Σ pair·(dW/dr)·dir_ij
-    acc = mass * jnp.sum(jnp.where(mask, pair * gradW, 0.0)[..., None] * dir_ij, 1)
-    # boundary penalty: spring force from the walls + velocity clamp
-    k_wall = 20000.0
-    acc = acc + k_wall * jnp.maximum(0.02 - pos, 0.0) - k_wall * jnp.maximum(pos - 0.98, 0.0)
-    vel = vel + dt * (acc + GRAV)
-    vel = jnp.clip(vel * 0.999, -3.0, 3.0)  # mild damping + speed cap
-    pos = jnp.clip(pos + dt * vel, -0.02, 1.02)
-    return pos, vel
-
-
-p, v = jnp.asarray(pos), jnp.asarray(vel)
-for i in range(800):
-    p, v = step(p, v)
-    if i % 100 == 0:
-        pn = np.asarray(p)
-        print(f"step {i:4d}: x-extent [{pn[:, 0].min():.3f}, {pn[:, 0].max():.3f}], "
-              f"max speed {np.abs(np.asarray(v)).max():.2f}")
-pn = np.asarray(p)
-assert np.isfinite(pn).all()
-assert pn[:, 0].max() > 0.45, "dam should collapse and spread to the right"
-assert pn.min() > -0.05 and pn.max() < 1.05, "particles must stay in the box"
-print(f"OK — {N} particles, front reached x={pn[:, 0].max():.2f}")
+model = SphDamBreak(nx=50, ny=200)  # 10,000 particles
+print(f"{model.n_particles} particles, support radius {model.support:.4f}, rho0 {model.rho0:.0f}")
+step = jax.jit(lambda s: model.step(*s))
+state = model.initial_state()
+for i in range(1200):
+    state = step(state)
+    if i % 200 == 0:
+        pos = np.asarray(state[0].geometry.center.native(('points', 'vector')))
+        vel = np.asarray(state[0].values.native(('points', 'vector')))
+        print(f"step {i:4d}: x-extent [{pos[:, 0].min():.3f}, {pos[:, 0].max():.3f}], "
+              f"max speed {np.abs(vel).max():.2f}")
+assert step._cache_size() == 1, "SPH step must trace once"
+pos = np.asarray(state[0].geometry.center.native(('points', 'vector')))
+assert np.isfinite(pos).all()
+assert pos[:, 0].max() > 0.45, "dam should collapse and spread to the right"
+assert pos.min() > -0.05 and pos.max() < 1.05, "particles must stay in the box"
+print(f"OK — {model.n_particles} particles, front reached x={pos[:, 0].max():.2f}")

@@ -20,3 +20,4 @@ from .burgers import Burgers
 from .kolmogorov import KolmogorovFlow
 from .flip import FlipLiquid
 from .cavity import LidDrivenCavity
+from .sph_dam import SphDamBreak

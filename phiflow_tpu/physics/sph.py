@@ -15,7 +15,8 @@ from ..math import _ops as ops
 from ..geom import Geometry, Box, Sphere
 from ..geom._graph import Graph
 
-__all__ = ['neighbor_graph', 'evaluate_kernel', 'expected_neighbors']
+__all__ = ['neighbor_graph', 'evaluate_kernel', 'expected_neighbors',
+           'gather_neighbors', 'edge_gradient', 'density', 'tait_pressure', 'pressure_acceleration']
 
 _DEFAULT_DESIRED_NEIGHBORS = {
     'quintic-spline': 34,
@@ -32,15 +33,23 @@ def neighbor_graph(nodes: Geometry,
                    format='dense',
                    search_method='auto',
                    domain: Box = None,
-                   periodic: Union[bool, Tensor] = False) -> Graph:
+                   periodic: Union[bool, Tensor] = False,
+                   support_radius: float = None) -> Graph:
     """Build a Graph of particle neighborhoods with kernel values on the edges
-    (reference: phi/physics/sph.py:23-71)."""
+    (reference: phi/physics/sph.py:23-71).
+
+    `support_radius` overrides the radius derived from the particle volume —
+    REQUIRED under jit with the cell-list search, where the cutoff must be a
+    static (non-traced) number to size the bucket structure."""
     assert isinstance(nodes, Geometry), f"nodes must be a Geometry, got {type(nodes)}"
     boundary = {} if boundary is None else boundary
     desired_neighbors = _DEFAULT_DESIRED_NEIGHBORS[kernel] if desired_neighbors is None else desired_neighbors
     # --- support radius from desired neighbor count (reference :71-86) ---
-    avg_volume = ops.mean(nodes.volume, nodes.shape.instance) if nodes.shape.instance else nodes.volume
-    support = Sphere.radius_from_volume(avg_volume * desired_neighbors, nodes.spatial_rank)
+    if support_radius is not None:
+        support = wrap(support_radius)
+    else:
+        avg_volume = ops.mean(nodes.volume, nodes.shape.instance) if nodes.shape.instance else nodes.volume
+        support = Sphere.radius_from_volume(avg_volume * desired_neighbors, nodes.spatial_rank)
     # --- neighbor search: dense all-pairs, or cell-list for large N ---
     indices = None
     n_particles = nodes.shape.instance.volume
@@ -101,6 +110,64 @@ def _cell_list_graph(nodes: Geometry, support, domain: Box, periodic):
     idx_t = Tensor(jnp.where(mask, idx, -1), shape2)
     mask_t = Tensor(mask, shape2)
     return idx_t, deltas_t, mask_t, dist_t
+
+
+def gather_neighbors(graph: Graph, per_particle: Tensor) -> Tensor:
+    """Per-particle values → (particle, ~neighbors) values at each neighbor
+    index, 0 where the slot is empty. Requires a compact (cell-list) graph.
+
+    TPU-native building block: neighbor interactions become dense masked
+    (N × Ñ) elementwise math instead of sparse matvecs (SURVEY.md §7 step 9)."""
+    idx = graph.indices
+    assert idx is not None, "gather_neighbors requires a compact (cell-list) graph; pass domain= to neighbor_graph"
+    mask = idx >= 0
+    safe = ops.where(mask, idx, 0)
+    inst = graph.shape.instance.names[0]
+    gathered = ops.gather(per_particle, ops.to_int32(safe), dims=inst)
+    return gathered * ops.to_float(mask)
+
+
+def edge_gradient(graph: Graph) -> Tensor:
+    """∇W_ij edge vectors reassembled from the packed edge channels
+    ('grad_x', 'grad_y', …) as a channel-'vector' tensor."""
+    labels = graph.nodes.shape.get_labels('vector')
+    comps = [graph.edges[{'vector': f'grad_{l}'}] for l in labels]
+    return stack(comps, channel(vector=list(labels)))
+
+
+def density(graph: Graph, kernel: str, masses=1.) -> Tensor:
+    """Summation density ρ_i = m·(W(0) + Σ_j W_ij) from a neighbor graph built
+    with compute including 'kernel'."""
+    W = graph.edges[{'vector': 'kernel'}]
+    dual_names = W.shape.dual.names
+    w_sum = ops.sum_(W, dual_names)
+    w0 = evaluate_kernel(None, wrap(0.), graph.bounding_distance, graph.spatial_rank,
+                         kernel, types=['kernel'])['kernel']
+    return masses * (w0 + w_sum)
+
+
+def tait_pressure(rho: Tensor, rho0, speed_of_sound: float = 10., gamma: float = 7.,
+                  clip_negative: bool = True) -> Tensor:
+    """Weakly-compressible Tait equation of state
+    P = c₀²ρ₀/γ · ((ρ/ρ₀)^γ − 1); negative (tensile) pressures clipped."""
+    P = (speed_of_sound ** 2 * rho0 / gamma) * ((rho / rho0) ** gamma - 1.)
+    return ops.maximum(P, 0.) if clip_negative else P
+
+
+def pressure_acceleration(graph: Graph, pressure: Tensor, rho: Tensor, masses=1.) -> Tensor:
+    """Symmetric SPH pressure acceleration
+    a_i = −m Σ_j (P_i/ρ_i² + P_j/ρ_j²) ∇_i W_ij.
+
+    Graph deltas follow the x_j − x_i convention (math.pairwise_differences /
+    the cell list), so the stored edge gradient is ∇_j W = −∇_i W and the sign
+    folds into a PLUS here (repulsive for dW/dr < 0). ∇W edges are zero on
+    empty neighbor slots, so the broadcast P_i term is annihilated there."""
+    p_over_rho2 = pressure / rho ** 2
+    pj = gather_neighbors(graph, p_over_rho2)
+    pair = p_over_rho2 + pj
+    gradW = edge_gradient(graph)
+    dual_names = gradW.shape.dual.names
+    return masses * ops.sum_(pair * gradW, dual_names)
 
 
 def expected_neighbors(volume: Tensor, support_radius, spatial_rank: int):
