@@ -44,6 +44,20 @@ except ImportError:  # pragma: no cover
 __all__ = ['window_interp_3d', 'window_interp_2d', 'pallas_available', 'supported_3d', 'supported_2d']
 
 
+def _compiler_params():
+    """Raise Mosaic's scoped-VMEM cap from the 16MB default to 32MB (v5e has
+    128MB VMEM/core). The traffic model budgets ~13MB of live buffers, but when
+    the kernel sits inside a scan/cond nest (auto-substeps) Mosaic charges extra
+    stack to the while body and the real allocation lands at ~16.1MB — 1% over
+    the DEFAULT limit, a compile-time OOM. Lifting the cap is strictly better
+    than shrinking tiles: tile choice (and so perf + compile caching) stays
+    identical, only headroom changes."""
+    if pltpu is None:
+        return None
+    cp = getattr(pltpu, 'CompilerParams', None) or getattr(pltpu, 'TPUCompilerParams', None)
+    return cp(vmem_limit_bytes=32 * 1024 * 1024) if cp is not None else None
+
+
 def pallas_available() -> bool:
     try:
         return _TPU and jax.default_backend() not in ('cpu',)
@@ -230,6 +244,7 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
         out_spec = pl.BlockSpec((TILE, YT, Z), lambda i, j: (i, j, 0))
 
     out_shapes = tuple(jax.ShapeDtypeStruct((X, Y, Z), jnp.float32) for _ in range(n_out))
+    cp = _compiler_params() if _TPU and not interpret else None
     result = pl.pallas_call(
         kernel,
         grid=grid,
@@ -237,6 +252,7 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
         out_specs=tuple(out_spec for _ in range(n_out)) if n_out > 1 else out_spec,
         out_shape=out_shapes if n_out > 1 else out_shapes[0],
         interpret=interpret,
+        **({'compiler_params': cp} if cp is not None else {}),
     )(slab_full, disp3)
     if (Y, Z) != (Y0, Z0):
         crop = lambda a: a[:, :Y0, :Z0]
@@ -303,12 +319,14 @@ def window_interp_2d(padded: jnp.ndarray, disp2: jnp.ndarray, K: int,
     n_out = 3 if compute_extrema else 1
     out_shapes = tuple(jax.ShapeDtypeStruct((X, Y), jnp.float32) for _ in range(n_out))
     kwargs = {'memory_space': pltpu.VMEM} if _TPU and not interpret else {}
+    cp = _compiler_params() if _TPU and not interpret else None
     result = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(**kwargs), pl.BlockSpec(**kwargs)],
         out_specs=tuple(pl.BlockSpec(**kwargs) for _ in range(n_out)) if n_out > 1 else pl.BlockSpec(**kwargs),
         out_shape=out_shapes if n_out > 1 else out_shapes[0],
         interpret=interpret,
+        **({'compiler_params': cp} if cp is not None else {}),
     )(slab, disp2)
     if (X, Y) != (X0, Y0):
         crop = lambda a: a[:X0, :Y0]

@@ -181,28 +181,41 @@ def max_displacement_cells(field: Field, velocity: Field, dt, integrator=euler):
     return _max_disp_cells(disp, field)
 
 
-def _auto_substep(field: Field, velocity: Field, dt, max_cells: int, max_substeps: int,
-                  integrator, single_step):
-    """Split the step into n = ceil(max|disp|/max_cells) substeps, decided
-    IN-GRAPH (clamped to max_substeps), so window-bounded advection stays exact
-    at any CFL under jit. Uses a static-length scan with a cond-skipped body:
-    reverse-mode differentiable, and skipped substeps execute only the identity
-    branch."""
+def _auto_substep_window(field: Field, disp: Tensor, max_cells: int, max_substeps: int,
+                         apply_window):
+    """Split a window-bounded advection into n = ceil(max|disp|/max_cells)
+    substeps, decided IN-GRAPH (clamped to max_substeps), so the scheme stays
+    exact at any CFL under jit.
+
+    `disp` is the FULL-step displacement at field's sample points; the advecting
+    velocity is frozen during the step, so each substep reuses disp/n — no
+    re-sampling. The common n == 1 case runs through an outer cond that applies
+    the already-computed displacement directly: its only overhead vs the plain
+    path is one max-reduction. The substep path is a static-length scan with a
+    cond-skipped body — reverse-mode differentiable.
+
+    apply_window(field, displacement) -> values Tensor.
+    """
     import jax
     import jax.numpy as jnp
-    disp = _displacement(field, velocity, -dt, integrator)
     m = _max_disp_cells(disp, field)
     n = jnp.clip(jnp.ceil(m / max_cells), 1, max_substeps).astype(jnp.int32)
-    nf = n.astype(jnp.float32)
 
-    def body(vals, i):
-        def advance(v):
-            return single_step(field.with_values(v), dt / nf).values
+    def one(vals):
+        return apply_window(field.with_values(vals), disp)
 
-        new_vals = jax.lax.cond(i < n, advance, lambda v: v, vals)
-        return new_vals, None
+    def multi(vals):
+        sub_disp = disp * (1.0 / n.astype(jnp.float32))
 
-    vals, _ = jax.lax.scan(body, field.values, jnp.arange(max_substeps))
+        def body(v, i):
+            v2 = jax.lax.cond(i < n, lambda vv: apply_window(field.with_values(vv), sub_disp),
+                              lambda vv: vv, v)
+            return v2, None
+
+        out, _ = jax.lax.scan(body, vals, jnp.arange(max_substeps))
+        return out
+
+    vals = jax.lax.cond(n <= 1, one, multi, field.values)
     return field.with_values(vals)
 
 
@@ -249,8 +262,9 @@ def semi_lagrangian(field: Field, velocity: Field, dt: float, integrator=euler,
     under jit with no Python-side control flow."""
     if substeps == 'auto':
         assert field.is_grid and max_cells is not None, "substeps='auto' requires the bounded window path"
-        return _auto_substep(field, velocity, dt, max_cells, max_substeps, integrator,
-                             lambda f, dt_sub: semi_lagrangian(f, velocity, dt_sub, integrator, max_cells))
+        disp = _displacement(field, velocity, -dt, integrator)
+        return _auto_substep_window(field, disp, max_cells, max_substeps,
+                                    lambda f, d: _window_interp_field(f, d, max_cells))
     if substeps > 1:
         for _ in range(substeps):
             field = semi_lagrangian(field, velocity, dt / substeps, integrator, max_cells)
@@ -265,6 +279,23 @@ def semi_lagrangian(field: Field, velocity: Field, dt: float, integrator=euler,
     return field.with_values(interpolated)
 
 
+def _mac_cormack_window(field: Field, disp_bwd: Tensor, disp_fwd: Tensor,
+                        correction_strength, max_cells: int) -> Tensor:
+    """MacCormack fwd/bwd window passes + monotonicity clamp; returns values."""
+    fwd_vals, lim_lo, lim_up = _window_interp_field(field, disp_bwd, max_cells, extrema=True)
+    fwd_adv = field.with_values(fwd_vals)
+    bwd_vals = _window_interp_field(fwd_adv, disp_fwd, max_cells)
+    bwd_adv = fwd_adv.with_values(bwd_vals)
+    new_field = fwd_adv + correction_strength * 0.5 * (field - bwd_adv)
+    if field.is_staggered:
+        comps = []
+        for dim in field.resolution.names:
+            comps.append(ops.clip(new_field.vector[dim].values,
+                                  lim_lo[{'~vector': dim}], lim_up[{'~vector': dim}]))
+        return stack(comps, dual(vector=field.resolution.names))
+    return ops.clip(new_field.values, lim_lo, lim_up)
+
+
 def mac_cormack(field: Field, velocity: Field, dt: float, correction_strength=1.0, integrator=euler,
                 max_cells: int = 2, substeps=1, max_substeps: int = 4) -> Field:
     """MacCormack advection with monotonicity clamp (reference: advect.py:182-215).
@@ -275,9 +306,11 @@ def mac_cormack(field: Field, velocity: Field, dt: float, correction_strength=1.
     `semi_lagrangian`)."""
     if substeps == 'auto':
         assert field.is_grid and max_cells is not None, "substeps='auto' requires the bounded window path"
-        return _auto_substep(field, velocity, dt, max_cells, max_substeps, euler,
-                             lambda f, dt_sub: mac_cormack(f, velocity, dt_sub, correction_strength,
-                                                           integrator, max_cells))
+        disp_bwd = _displacement(field, velocity, -dt, euler)
+        # euler: disp_fwd == −disp_bwd, and the frozen-velocity displacement
+        # scales linearly with the substep length — reuse it for every substep
+        return _auto_substep_window(field, disp_bwd, max_cells, max_substeps,
+                                    lambda f, d: _mac_cormack_window(f, d, -d, correction_strength, max_cells))
     if substeps != 1:
         for _ in range(substeps):
             field = mac_cormack(field, velocity, dt / substeps, correction_strength, integrator, max_cells)
@@ -287,18 +320,7 @@ def mac_cormack(field: Field, velocity: Field, dt: float, correction_strength=1.
         disp_bwd = _displacement(field, velocity, -dt, integrator, v0=v0)
         disp_fwd = _displacement(field, velocity, dt, integrator, v0=v0)
         _warn_if_clamped(disp_bwd, field, max_cells, 'mac_cormack')
-        fwd_vals, lim_lo, lim_up = _window_interp_field(field, disp_bwd, max_cells, extrema=True)
-        fwd_adv = field.with_values(fwd_vals)
-        bwd_vals = _window_interp_field(fwd_adv, disp_fwd, max_cells)
-        bwd_adv = fwd_adv.with_values(bwd_vals)
-        new_field = fwd_adv + correction_strength * 0.5 * (field - bwd_adv)
-        if field.is_staggered:
-            comps = []
-            for dim in field.resolution.names:
-                comps.append(ops.clip(new_field.vector[dim].values,
-                                      lim_lo[{'~vector': dim}], lim_up[{'~vector': dim}]))
-            return Field(field.geometry, stack(comps, dual(vector=field.resolution.names)), field.boundary)
-        return new_field.with_values(ops.clip(new_field.values, lim_lo, lim_up))
+        return field.with_values(_mac_cormack_window(field, disp_bwd, disp_fwd, correction_strength, max_cells))
     points_bwd = integrator(field, velocity, -dt, v0=v0)
     points_fwd = integrator(field, velocity, dt, v0=v0)
     fwd_adv = field.with_values(reduce_sample(field, points_bwd))
