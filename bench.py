@@ -138,7 +138,7 @@ def run_bench(resolution: int, dims: int = 3, steps: int = 20, warmup: int = 3, 
         m_smoke, m_vel = probe(v, s)
         max_disp = max(float(_np.asarray(m_smoke)), float(_np.asarray(m_vel)))
         result['max_disp_cells'] = round(max_disp, 3)
-        envelope = model.max_cells * 3  # max_substeps=3 in SmokePlume advection
+        envelope = model.max_cells  # static single-pass window (SmokePlume.advect_smoke)
         result['certified_unclamped'] = bool(max_disp <= envelope)
         if max_disp > envelope:
             sys.stderr.write(f"WARNING bench {resolution}^{dims}: max displacement {max_disp:.2f} cells "

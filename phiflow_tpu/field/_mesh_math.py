@@ -20,7 +20,7 @@ from ..geom._mesh import Mesh
 from ._field import Field
 
 __all__ = ['centroid_to_faces', 'green_gauss_gradient', 'least_squares_gradient', 'mesh_divergence', 'mesh_laplace',
-           'mesh_advection_differential', 'sample_mesh_field']
+           'mesh_laplace_diagonal', 'mesh_advection_differential', 'sample_mesh_field']
 
 
 def _group_extrapolation(boundary: Extrapolation, name: str) -> Extrapolation:
@@ -219,6 +219,37 @@ def mesh_laplace(field: Field, gradient=None, order=2, upwind=None, correct_skew
     dirichlet_flux = dirichlet * (v_dir - v_c) / (dist * 0.5)
     total = ops.sum_((interior_flux + dirichlet_flux) * mesh.face_areas, '~faces')
     return Field(mesh, total / mesh.volume, field.boundary.spatial_gradient())
+
+
+def mesh_laplace_diagonal(field: Field, correct_skew: bool = True) -> Tensor:
+    """Diagonal of the `mesh_laplace` operator, per cell (analytic).
+
+    ∂(Δv)_i/∂v_i = −(1/V_i) Σ_f A_f [ interior_f·α_f/d_f + 2·dirichlet_f/d_f ]
+    with α = 1/(n̂·ê) the over-relaxed non-orthogonal scale when `correct_skew`
+    (the tangential correction's dependence on v_i through the reconstructed
+    gradient is dropped — preconditioner-grade accuracy). Zero-gradient faces
+    contribute nothing. Used to build Jacobi/Chebyshev preconditioners for FVM
+    pressure systems (reference uses scipy splu / phiml ILU at this spot,
+    phi/physics/fluid.py:193-194 — sequential triangular solves do not map to
+    TPU; diagonal-scaled Chebyshev does)."""
+    mesh: Mesh = field.geometry
+    _, _, _, interior, dirichlet, _ = _face_value_tables(field)
+    dist = mesh.neighbor_distances
+    if correct_skew:
+        labels = mesh.shape.get_labels('vector')
+        orth_scale = None
+        for d in labels:
+            c_d = mesh.center[{'vector': d}]
+            e_d = (mesh.gather_neighbor(c_d) - c_d) / dist
+            term = mesh.face_normals[{'vector': d}] * e_d
+            orth_scale = term if orth_scale is None else orth_scale + term
+        alpha = orth_scale / ops.maximum(orth_scale * orth_scale, 1e-12)
+        interior_coeff = interior * alpha / dist
+    else:
+        interior_coeff = interior / dist
+    dirichlet_coeff = dirichlet * 2. / dist
+    diag = -ops.sum_((interior_coeff + dirichlet_coeff) * mesh.face_areas, '~faces') / mesh.volume
+    return diag
 
 
 def mesh_advection_differential(u: Field, velocity: Field, density: float = 1., order=1, upwind=True) -> Field:

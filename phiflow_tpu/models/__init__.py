@@ -21,3 +21,4 @@ from .kolmogorov import KolmogorovFlow
 from .flip import FlipLiquid
 from .cavity import LidDrivenCavity
 from .sph_dam import SphDamBreak
+from .cylinder_wake import CylinderWake

@@ -69,18 +69,23 @@ class SmokePlume:
         return to_device((self.velocity0, self.smoke0, self.pressure0))
 
     def advect_smoke(self, velocity: Field, smoke: Field) -> Field:
-        """Phase 1: MacCormack smoke advection + soft inflow. substeps='auto'
-        keeps the bounded-window lookup exact when the plume accelerates past
-        CFL=max_cells (in-graph decision, no-op at low CFL)."""
-        return advect.mac_cormack(smoke, velocity, self.dt, max_cells=self.max_cells,
-                                  substeps='auto', max_substeps=3) + \
+        """Phase 1: MacCormack smoke advection + soft inflow.
+
+        Static single-pass window (adaptive K=1/K=2): the benchmark certifies
+        max|disp| ≤ max_cells in-graph after every run (bench.py CFL
+        certification), which keeps the lookup provably exact without paying
+        the auto-substep cond's HBM cost — the cond holds every staggered
+        displacement stack live simultaneously, which OOMs 512³ (16.9G
+        program). Pass substeps='auto' here for long-horizon runs past
+        CFL=max_cells."""
+        return advect.mac_cormack(smoke, velocity, self.dt, max_cells=self.max_cells) + \
             self.inflow_rate * self._inflow_mask_values(smoke)
 
     def advect_velocity(self, velocity: Field, smoke: Field) -> Field:
-        """Phase 2: buoyancy + semi-Lagrangian self-advection."""
+        """Phase 2: buoyancy + semi-Lagrangian self-advection (static window,
+        certified unclamped by the benchmark — see advect_smoke)."""
         buoyancy = resample(smoke * self.buoyancy_dir, to=velocity)
-        return advect.semi_lagrangian(velocity, velocity, self.dt, max_cells=self.max_cells,
-                                      substeps='auto', max_substeps=3) + buoyancy * self.dt
+        return advect.semi_lagrangian(velocity, velocity, self.dt, max_cells=self.max_cells) + buoyancy * self.dt
 
     def project(self, velocity: Field, pressure: Optional[Field]):
         """Phase 3: pressure projection (MG-preconditioned CG)."""

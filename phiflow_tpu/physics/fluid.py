@@ -152,6 +152,16 @@ def make_incompressible(velocity: Field,
         M = _grid_multigrid_preconditioner(solve.x0, input_velocity.boundary)
         if M is not None:
             solve = copy_with(solve, preconditioner=M)
+    elif div.is_mesh and solve.preconditioner in (None, 'auto'):
+        # FVM pressure systems: diagonal-scaled Chebyshev (TPU-native stand-in
+        # for the reference's scipy splu / phiml ILU, phi/physics/fluid.py:193-194
+        # — sequential triangular solves do not map to the TPU; a fixed-degree
+        # matvec polynomial does). A = V⁻¹L is nonsymmetric for nonuniform cell
+        # volumes, so 'auto' routes to BiCGStab (right-preconditioned, no SPD
+        # requirement on M).
+        solve = copy_with(solve, preconditioner=_mesh_chebyshev_preconditioner(solve.x0, order=order))
+        if solve.method == 'auto':
+            solve = copy_with(solve, method='biCG-stab')
     elif not callable(solve.preconditioner):
         solve = copy_with(solve, preconditioner=None)
     # --- linear solve for pressure ---
@@ -315,6 +325,42 @@ def _bc_mode(ext: Extrapolation, dim: str, upper: bool) -> str:
     if isinstance(ext, ConstantExtrapolation):
         return 'ghost0'
     return 'neumann'  # ZERO_GRADIENT and anything exotic: Neumann is the safe smoother BC
+
+
+def _mesh_chebyshev_preconditioner(x0: Field, order: int = 2, degree: int = 4,
+                                   eig_ratio: float = 30.):
+    """Chebyshev(Jacobi) preconditioner for FVM mesh Poisson systems.
+
+    z ≈ A⁻¹r via a degree-`degree` Chebyshev polynomial in B = D⁻¹A, with D the
+    analytic operator diagonal (`mesh_laplace_diagonal`). B's spectrum lies in
+    (0, 2] for the diagonally-scaled Laplacian (Gershgorin: interior row sums of
+    |off-diagonals| equal |diag|), so fixed bounds [λmax/eig_ratio, λmax=2] need
+    no power iteration — the preconditioner costs exactly degree−1 extra matvecs
+    per application and nothing at setup, which matters because it is rebuilt
+    inside every traced step."""
+    from ..field import laplace as field_laplace
+    from ..field._mesh_math import mesh_laplace_diagonal
+    diag = mesh_laplace_diagonal(x0)
+    inv_diag = 1. / diag
+    lmax = 2.0
+    a, b = lmax / eig_ratio, lmax
+    theta, delta = (b + a) / 2., (b - a) / 2.
+    sigma1 = theta / delta
+
+    def preconditioner(r: Field) -> Field:
+        rs = r.values * inv_diag
+        z = rs / theta
+        d = z
+        rho = 1. / sigma1
+        for _ in range(degree - 1):
+            Bz = field_laplace(r.with_values(z), order=order).values * inv_diag
+            rho_new = 1. / (2. * sigma1 - rho)
+            d = rho_new * rho * d + (2. * rho_new / delta) * (rs - Bz)
+            z = z + d
+            rho = rho_new
+        return r.with_values(z)
+
+    return preconditioner
 
 
 def _grid_multigrid_preconditioner(x0: Field, v_boundary: Extrapolation = None):

@@ -8,3 +8,7 @@ os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS', '') + ' --xla_force_host_p
 import jax
 
 jax.config.update('jax_platforms', 'cpu')
+
+
+def pytest_configure(config):
+    config.addinivalue_line('markers', 'slow: long-running end-to-end simulations')

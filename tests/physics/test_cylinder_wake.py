@@ -1,0 +1,59 @@
+"""FVM cylinder wake end-to-end: vortex shedding + mesh preconditioner
+(VERDICT r2 #5; reference workload: examples/mesh/FVM_Cylinder_GMsh.ipynb,
+solver path phi/physics/fluid.py:170-200)."""
+import numpy as np
+import jax
+import pytest
+
+from phiflow_tpu.models import CylinderWake
+from phiflow_tpu.math import Solve, SolveTape, ConvergenceException
+from phiflow_tpu.physics import fluid
+
+
+def test_mesh_chebyshev_preconditioner_reduces_iterations():
+    """The Chebyshev(Jacobi) mesh preconditioner must cut BiCGStab iterations
+    several-fold and agree with the unpreconditioned solution."""
+    from phiflow_tpu.flow import Box, Sphere, Field, vec, math
+    from phiflow_tpu.math.extrapolation import ZERO_GRADIENT
+    from phiflow_tpu.geom._mesh import build_mesh
+    m = build_mesh(Box(x=4., y=1.), x=120, y=30, obstacles=Sphere(x=1., y=0.5, radius=0.2))
+    bc = {'x-': vec(x=1., y=0.), 'x+': ZERO_GRADIENT, 'y-': 0., 'y+': 0., 'boundary': 0.}
+    v = Field(m, vec(x=1., y=0.), bc)
+    with SolveTape(record_runtime=True) as tape:
+        v1, p1 = fluid.make_incompressible(v, (), Solve(
+            'biCG-stab', 1e-5, 1e-5, preconditioner=False,
+            suppress=(ConvergenceException,), implicit_diff=False))
+    plain = tape.solve_infos[-1].runtime_stats
+    with SolveTape(record_runtime=True) as tape:
+        v2, p2 = fluid.make_incompressible(v, (), Solve(
+            'auto', 1e-5, 1e-5, suppress=(ConvergenceException,), implicit_diff=False))
+    pre = tape.solve_infos[-1].runtime_stats
+    assert pre['converged'] and plain['converged']
+    assert pre['iterations'] < plain['iterations'] / 2, \
+        f"preconditioner should at least halve iterations: {plain['iterations']} -> {pre['iterations']}"
+    rel = float(math.max(math.abs(p1.values - p2.values))) / (float(math.max(math.abs(p1.values))) + 1e-12)
+    assert rel < 1e-3
+
+
+@pytest.mark.slow
+def test_cylinder_wake_sheds():
+    """Coarse-mesh wake at Re=120: velocity stays bounded and the pressure lift
+    on the cylinder oscillates periodically (vortex shedding)."""
+    model = CylinderWake(nx=120, ny=36, re=120., dt=0.08, diameter=0.5, upwind=False,
+                         perturb=0.2, solve_tol=3e-4, max_iterations=300)
+    v, p = model.initial_state()
+    step = jax.jit(model.step)
+    forces = jax.jit(model.forces)
+    lifts = []
+    for _ in range(340):
+        v, p = step(v, p)
+        lifts.append(float(np.asarray(forces(p).native(('vector',)))[1]))
+    assert step._cache_size() == 1, "wake step must trace once"
+    vel = np.asarray(v.values.native(('cells', 'vector')))
+    assert np.isfinite(vel).all()
+    assert np.abs(vel).max() < 3.0, "velocity must stay bounded (U∞=1)"
+    half = np.array(lifts[170:]) / model.dt
+    mean = half.mean()
+    sign_changes = int(np.sum(np.abs(np.diff(np.sign(half - mean))) > 0))
+    assert sign_changes >= 3, f"lift should oscillate, got {sign_changes} sign changes"
+    assert np.abs(half - mean).max() > 1e-3, "lift oscillation above noise floor"
