@@ -33,7 +33,8 @@ try:
 except ImportError:
     pass
 try:
-    from .geom import Heightmap, SDF, SDFGrid, Voxels, BSplineSheet, SplineSolid, to_spline, double_cover
+    from .geom import (Heightmap, SDF, SDFGrid, Voxels, BSplineSheet, SplineSolid, to_spline, double_cover,
+                       SplineVolume, to_spline_volume, apply_spline_bounds, transform_with_spline)
 except ImportError:
     pass
 

@@ -63,5 +63,7 @@ from ._mesh import Mesh, mesh, mesh_from_numpy, build_mesh, load_su2, load_gmsh,
 from ._mesh_builder import MeshBuilder, join_meshes, decimate_tri_mesh
 from ._graph import Graph, graph
 from ._spline import b_spline_knots, eval_nurbs_bases, spline_eval
-from ._spline_sheet import BSplineSheet, SplineSolid, to_spline, double_cover
+from ._spline_sheet import BSplineSheet, SplineVolume, to_spline_volume, double_cover
+from ._spline_solid import (SplineSolid, to_spline, apply_spline_bounds, transform_with_spline,
+                            closest_param, spline_eval_surface)
 from ._box import bounding_box

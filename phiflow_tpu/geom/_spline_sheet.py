@@ -13,7 +13,7 @@ from ..math import Tensor, wrap, spatial, channel, instance, stack
 from ..math import _ops as ops
 from ._spline import b_spline_knots, eval_nurbs_bases
 
-__all__ = ['BSplineSheet', 'SplineSolid', 'to_spline', 'double_cover']
+__all__ = ['BSplineSheet', 'SplineVolume', 'to_spline_volume', 'double_cover']
 
 
 def _tensor_eval(control: np.ndarray, params, degrees):
@@ -97,9 +97,12 @@ class BSplineSheet:
         return f"BSplineSheet(control={self.control.shape[:-1]}, degrees={self.degrees})"
 
 
-class SplineSolid:
-    """Trivariate B-spline volume from a (nu, nv, nw, 3) control net
-    (reference: phi/geom/_spline_solid.py SplineSolid:20)."""
+class SplineVolume:
+    """Trivariate B-spline volume from a (nu, nv, nw, 3) control net.
+
+    Complements the reference-parity thickened-sheet `SplineSolid`
+    (geom/_spline_solid.py): this class parameterizes a solid by a full 3D
+    control lattice instead of a sheet + thickness."""
 
     def __init__(self, control_points, degrees=(2, 2, 2)):
         self.control = np.asarray(control_points, np.float32)
@@ -136,11 +139,11 @@ class SplineSolid:
         ]
 
     def __repr__(self):
-        return f"SplineSolid(control={self.control.shape[:-1]}, degrees={self.degrees})"
+        return f"SplineVolume(control={self.control.shape[:-1]}, degrees={self.degrees})"
 
 
-def to_spline(geo, control_resolution=(4, 4, 4)) -> 'SplineSolid':
-    """Fit a SplineSolid to a primitive geometry (reference behavior:
+def to_spline_volume(geo, control_resolution=(4, 4, 4)) -> 'SplineVolume':
+    """Fit a SplineVolume to a primitive geometry (reference behavior:
     phi/geom/_spline_solid.py to_spline:425 converts Cylinder/Box/Sphere into
     spline-solid representations; this TPU-side variant builds a trivariate
     control net whose evaluation reproduces the primitive's volume).
@@ -160,7 +163,7 @@ def to_spline(geo, control_resolution=(4, 4, 4)) -> 'SplineSolid':
         ws = np.linspace(0, 1, nw)
         U, V, W = np.meshgrid(us, vs, ws, indexing='ij')
         pts = lower + np.stack([U, V, W], -1) * (upper - lower)
-        return SplineSolid(pts.astype(np.float32), degrees=(1, 1, 1))
+        return SplineVolume(pts.astype(np.float32), degrees=(1, 1, 1))
     if isinstance(geo, Sphere):
         center = np.asarray(geo.center.native()).reshape(-1)
         radius = float(geo.radius)
@@ -173,7 +176,7 @@ def to_spline(geo, control_resolution=(4, 4, 4)) -> 'SplineSolid':
         y = r * radius * np.sin(theta) * np.sin(phi)
         z = r * radius * np.cos(theta) * np.ones_like(phi)
         pts = center + np.stack(np.broadcast_arrays(x, y, z), -1)
-        return SplineSolid(pts.astype(np.float32), degrees=(1, 2, 2))
+        return SplineVolume(pts.astype(np.float32), degrees=(1, 2, 2))
     if isinstance(geo, Cylinder):
         center = np.asarray(geo.center.native()).reshape(-1)
         radius = float(geo.radius)
@@ -185,7 +188,7 @@ def to_spline(geo, control_resolution=(4, 4, 4)) -> 'SplineSolid':
         y = r * radius * np.sin(phi) * np.ones_like(z)
         zz = np.ones_like(x) * z
         pts = center + np.stack(np.broadcast_arrays(x, y, zz), -1)
-        return SplineSolid(pts.astype(np.float32), degrees=(1, 2, 1))
+        return SplineVolume(pts.astype(np.float32), degrees=(1, 2, 1))
     raise NotImplementedError(f"to_spline for {type(geo)}")
 
 

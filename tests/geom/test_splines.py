@@ -65,10 +65,10 @@ def test_bspline_sheet_flat():
 
 def test_spline_solid_cube():
     import numpy as np
-    from phiflow_tpu.geom import SplineSolid
+    from phiflow_tpu.geom import SplineVolume
     g = np.linspace(0, 1, 4)
     u, v, w = np.meshgrid(g, g, g, indexing='ij')
-    solid = SplineSolid(np.stack([u, v, w], -1))
+    solid = SplineVolume(np.stack([u, v, w], -1))
     c = solid.eval(0.5, 0.5, 0.5).numpy('vector')
     assert np.allclose(c, 0.5, atol=1e-5)
     assert abs(solid.volume(12) - 1.0) < 0.05
@@ -78,15 +78,15 @@ def test_spline_solid_cube():
 
 def test_to_spline_box_exact():
     import numpy as np
-    from phiflow_tpu.geom import Box, to_spline
-    ss = to_spline(Box(x=2., y=1., z=1.))
+    from phiflow_tpu.geom import Box, to_spline_volume
+    ss = to_spline_volume(Box(x=2., y=1., z=1.))
     assert abs(ss.volume(12) - 2.0) < 1e-3
 
 
 def test_to_spline_sphere_approximate():
     import numpy as np
-    from phiflow_tpu.geom import Sphere, to_spline
-    sp = to_spline(Sphere(x=0., y=0., z=0., radius=1.), control_resolution=(8, 20, 30))
+    from phiflow_tpu.geom import Sphere, to_spline_volume
+    sp = to_spline_volume(Sphere(x=0., y=0., z=0., radius=1.), control_resolution=(8, 20, 30))
     exact = 4 / 3 * np.pi
     assert abs(sp.volume(20) - exact) / exact < 0.25  # control-net approximation
 
