@@ -211,13 +211,15 @@ def run_kolmogorov(resolution: int = 512, steps: int = 10, warmup: int = 2, orde
             'cells_per_sec': resolution ** 2 / per_step}
 
 
-def run_flip(resolution: int = 128, steps: int = 10, warmup: int = 2):
+def run_flip(resolution: int = 128, steps: int = 10, warmup: int = 2, dims: int = 2,
+             points_per_cell: int = 4):
     """Flagship config #5 (BASELINE.md): FLIP liquid — P2G scatter + active-mask
-    pressure CG + G2P gather + RK4 particle advection."""
+    pressure CG + G2P gather + RK4 particle advection. dims=3 exercises the 3D
+    scatter/gather path (VERDICT r2 #10: never timed in 3D before)."""
     jax = _setup_jax()
     import numpy as np
     from phiflow_tpu.models import FlipLiquid
-    model = FlipLiquid(resolution=resolution, points_per_cell=4)
+    model = FlipLiquid(resolution=resolution, dims=dims, points_per_cell=points_per_cell)
     (particles,) = model.initial_state()
     n_particles = particles.geometry.center.shape.instance.volume
     steps_per_call = 4
@@ -231,7 +233,7 @@ def run_flip(resolution: int = 128, steps: int = 10, warmup: int = 2):
     for _ in range(max(warmup, 2)):
         particles = step(particles)
     _hard_sync(particles.geometry.center)
-    check_retrace = _retrace_guard(step, f'flip {resolution}^2')
+    check_retrace = _retrace_guard(step, f'flip {resolution}^{dims}')
     calls = max(1, steps // steps_per_call)
     t0 = time.perf_counter()
     for _ in range(calls):
@@ -268,6 +270,13 @@ def main():
                          f"{flip['per_step_ms']:.1f} ms/step\n")
     except Exception as exc:
         sys.stderr.write(f"flip bench failed: {type(exc).__name__}: {exc}\n")
+    flip3d = None
+    try:
+        flip3d = run_flip(64, dims=3, points_per_cell=8)
+        sys.stderr.write(f"flip 64^3 ({flip3d['n_particles']} particles): "
+                         f"{flip3d['per_step_ms']:.1f} ms/step\n")
+    except Exception as exc:
+        sys.stderr.write(f"flip 3D bench failed: {type(exc).__name__}: {exc}\n")
     for res in (64, 128, 256, 512):
         try:
             # phases off at 512³: the extra per-phase buffers don't fit HBM
@@ -310,6 +319,8 @@ def main():
                                     if kolmogorov else None),
         'flip_128^2': ({'per_step_ms': round(flip['per_step_ms'], 2),
                         'n_particles': flip['n_particles']} if flip else None),
+        'flip_64^3': ({'per_step_ms': round(flip3d['per_step_ms'], 2),
+                       'n_particles': flip3d['n_particles']} if flip3d else None),
         'device': str(jax.devices()[0]),
     }))
 

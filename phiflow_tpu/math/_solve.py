@@ -388,6 +388,52 @@ def _cg(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
     return x, res, it, converged
 
 
+def _cg_adaptive(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
+    """Conjugate gradients with ADAPTIVE step size (phiml's 'CG-adaptive'):
+    the step size is recomputed from the CURRENT residual every iteration
+    (α = ⟨d, r⟩ / ⟨d, A·d⟩ instead of the rz/β recurrences) and the new search
+    direction is explicitly re-conjugated against A·d. One matvec per
+    iteration, like plain CG, but self-correcting against float32 drift in the
+    recurrence — the reference exposes it as a distinct method for exactly the
+    low-precision case. Preconditioning enters through the direction update
+    (d ← M·r − β·d)."""
+    dtype = b[0].dtype
+    eps = jnp.asarray(1e-30, dtype)
+
+    def safe_denom(x):
+        return jnp.where(jnp.abs(x) < eps, jnp.where(x < 0, -eps, eps), x)
+
+    b_norm_sq = _ldot(b, b, nb)
+    tol_sq = jnp.maximum(jnp.asarray(atol, dtype), jnp.asarray(rtol, dtype) * jnp.sqrt(b_norm_sq)) ** 2
+    x = x0
+    Ax = A(x)
+    r = [bi - axi for bi, axi in zip(b, Ax)]
+    d = M(r) if M is not None else r
+    Ad = A(d)
+
+    def cond(state):
+        x, r, d, Ad, it = state
+        return jnp.logical_and(it < max_iter, jnp.any(_ldot(r, r, nb) > tol_sq))
+
+    def body(state):
+        x, r, d, Ad, it = state
+        d_Ad = _ldot(d, Ad, nb)
+        alpha = _ldot(d, r, nb) / safe_denom(d_Ad)       # adaptive: from current r
+        active = (_ldot(r, r, nb) > tol_sq).astype(dtype)
+        alpha = alpha * active
+        x = _lcomb(x, alpha, d, nb)
+        r = _lcomb(r, -alpha, Ad, nb)
+        z = M(r) if M is not None else r
+        beta = _ldot(z, Ad, nb) / safe_denom(d_Ad)       # re-conjugate vs A·d
+        d = _lcomb(z, -beta, d, nb)
+        return x, r, d, A(d), it + 1
+
+    x, r, d, Ad, it = jax.lax.while_loop(cond, body, (x, r, d, Ad, jnp.asarray(0, jnp.int32)))
+    res = jnp.sqrt(_ldot(r, r, nb))
+    converged = jnp.all(res ** 2 <= tol_sq)
+    return x, res, it, converged
+
+
 def _bicgstab(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
     """BiCGStab on lists of (*batch, *rest) arrays (covers the reference's
     'biCG-stab(2)' use cases)."""
@@ -506,8 +552,10 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
             return _lsub_mean(z, nb) if rank_def else z
 
     method = solve.method
-    if method in ('auto', 'CG', 'CG-adaptive', 'CG-native'):
+    if method in ('auto', 'CG', 'CG-native'):
         krylov = _cg
+    elif method == 'CG-adaptive':
+        krylov = _cg_adaptive
     elif method in ('biCG', 'biCG-stab', 'biCG-stab(1)', 'biCG-stab(2)'):
         krylov = _bicgstab
     elif method in ('direct', 'scipy-direct'):
@@ -577,7 +625,7 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
     else:
         # custom_linear_solve gives us implicit differentiation (adjoint solve on
         # the transpose system) without differentiating through the iteration loop.
-        sym = krylov is _cg or krylov is None  # CG/direct used only for symmetric systems here
+        sym = krylov in (_cg, _cg_adaptive, None)  # CG/direct used only for symmetric systems here
         try:
             x_out = jax.lax.custom_linear_solve(A, rhs, lambda mv, b: run_solve(mv, b),
                                                 transpose_solve=lambda mv, b: run_solve(mv, b),

@@ -28,6 +28,21 @@ def test_cg_singular_periodic():
     math.assert_close(_neg_lap_periodic(x), rhs, abs_tolerance=1e-4)
 
 
+def test_cg_adaptive():
+    """'CG-adaptive' is a DISTINCT method (phiml semantics): step size from the
+    current residual + explicit re-conjugation, not an alias of 'CG'."""
+    from phiflow_tpu.math import _solve as solve_mod
+    assert solve_mod._cg_adaptive is not solve_mod._cg
+    rhs = math.random_normal(spatial(x=32))
+    x = math.solve_linear(_neg_lap_dirichlet, rhs, Solve('CG-adaptive', 1e-6, 1e-6))
+    math.assert_close(_neg_lap_dirichlet(x), rhs, abs_tolerance=1e-4)
+    # singular (periodic) system with rank deficiency, like the pressure solve
+    rhs2 = math.random_normal(spatial(x=32))
+    rhs2 = rhs2 - math.mean(rhs2)
+    x2 = math.solve_linear(_neg_lap_periodic, rhs2, Solve('CG-adaptive', 1e-6, 1e-6, rank_deficiency=1))
+    math.assert_close(_neg_lap_periodic(x2), rhs2, abs_tolerance=1e-4)
+
+
 def test_bicgstab():
     rhs = math.random_normal(spatial(x=16))
     x = math.solve_linear(_neg_lap_dirichlet, rhs, Solve('biCG-stab(2)', 1e-6, 1e-6))
