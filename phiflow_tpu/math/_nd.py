@@ -388,8 +388,9 @@ def masked_fill(values: Tensor, valid: Tensor, distance=1) -> Tuple[Tensor, Tens
 # window-shift interpolation (TPU-native gather replacement)
 # ---------------------------------------------------------------------------
 
-def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrapolation,
-                        max_cells: int = 2, compute_extrema: bool = False):
+def shift_window_interp(grid: Tensor, displacement_cells, extrap: Extrapolation,
+                        max_cells: int = 2, compute_extrema: bool = False,
+                        negate: bool = False):
     """Linear interpolation of `grid` at its own sample lattice displaced by
     `displacement_cells` (in units of cells, channel 'vector' labeled by dims).
 
@@ -406,9 +407,21 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
 
     Returns interp, or (interp, corner_min, corner_max) when compute_extrema
     (the MacCormack clamp values — reference: phi/physics/advect.py:210-215).
+
+    ``displacement_cells`` is a channel-'vector' Tensor, or a raw LIST of
+    per-axis jnp arrays in the grid's spatial order (the advection fast path
+    feeds these straight from fused resample expressions — no Tensor plumbing,
+    no stack pass). ``negate`` flips the displacement sign inside the kernel.
     """
-    ch = displacement_cells.shape.channel
-    dims = ch.labels[0]
+    out_shape = grid.shape
+    out_order = out_shape.names
+    if isinstance(displacement_cells, (list, tuple)):
+        dims = tuple(out_shape.spatial.names)
+        raw_disps = list(displacement_cells)
+    else:
+        ch = displacement_cells.shape.channel
+        dims = ch.labels[0]
+        raw_disps = [displacement_cells[{ch.name: n}].native(out_order) for n in dims]
     d = len(dims)
     K = max_cells
     W = 2 * K + 1  # shifts per axis: s ∈ [-K, K] (symmetric window)
@@ -417,14 +430,11 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
     padded_t = extrap.pad(grid, {n: (K, K) for n in dims})
     if isinstance(padded_t, TensorStack):
         padded_t = padded_t._contiguous()
-    out_shape = grid.shape
-    out_order = out_shape.names
     padded = padded_t.native(out_order)
-    # per-axis displacement aligned to the output layout, clamped to window coverage
-    disps = []
-    for n in dims:
-        disp = displacement_cells[{ch.name: n}]
-        disps.append(jnp.clip(disp.native(out_order).astype(padded.dtype), -K, float(K)))
+    # per-axis displacement aligned to the output layout — clamping to ±K (and
+    # the optional negation) happens inside the Pallas kernel (VMEM-resident) /
+    # the fallback body, NOT here: a jnp.clip per axis costs d full HBM passes
+    disps = [dd.astype(padded.dtype) for dd in raw_disps]
     axis_pos = [out_shape.index(n) for n in dims]
     out_sizes = tuple(out_shape.sizes)
     rank = len(out_sizes)
@@ -439,7 +449,7 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
     else:
         plain = False
     if plain and pallas_available():
-        disp_stack = jnp.stack([dd.astype(jnp.float32) for dd in disps], 0)
+        disp_list = tuple(dd.astype(jnp.float32) for dd in disps)
         fn = window_interp_3d if d == 3 else window_interp_2d
         padded32 = padded.astype(jnp.float32)
         if K > 1 and d == 3:
@@ -447,20 +457,22 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
             # ((2K+2)³ window terms). When every displacement fits its window
             # [−1, 2] the small kernel is EXACT, so select at runtime — typical
             # CFL<1 flows never pay for the wide window.
-            k1_ok = jnp.logical_and(jnp.min(disp_stack) >= -1.0, jnp.max(disp_stack) <= 1.0)
+            lo = _functools.reduce(jnp.minimum, [jnp.min(dd) for dd in disp_list])
+            hi = _functools.reduce(jnp.maximum, [jnp.max(dd) for dd in disp_list])
+            k1_ok = jnp.logical_and(lo >= -1.0, hi <= 1.0)
             crop = tuple(slice(K - 1, -(K - 1)) for _ in range(d))
 
             def k1(args):
-                pad_, disp_ = args
-                return fn(pad_[crop], disp_, 1, compute_extrema=compute_extrema)
+                pad_, *disp_ = args
+                return fn(pad_[crop], disp_, 1, compute_extrema=compute_extrema, negate=negate)
 
             def kK(args):
-                pad_, disp_ = args
-                return fn(pad_, disp_, K, compute_extrema=compute_extrema)
+                pad_, *disp_ = args
+                return fn(pad_, disp_, K, compute_extrema=compute_extrema, negate=negate)
 
-            result = jax.lax.cond(k1_ok, k1, kK, (padded32, disp_stack))
+            result = jax.lax.cond(k1_ok, k1, kK, (padded32, *disp_list))
         else:
-            result = fn(padded32, disp_stack, K, compute_extrema=compute_extrema)
+            result = fn(padded32, disp_list, K, compute_extrema=compute_extrema, negate=negate)
         if compute_extrema:
             return (Tensor(result[0], out_shape), Tensor(result[1], out_shape), Tensor(result[2], out_shape))
         return Tensor(result, out_shape)
@@ -481,7 +493,8 @@ def shift_window_interp(grid: Tensor, displacement_cells: Tensor, extrap: Extrap
             s = kk % W - K
             kk = kk // W
             starts[axis_pos[i]] = K + s
-            ai = jnp.abs(disps[i] - s)
+            di = jnp.clip(-disps[i] if negate else disps[i], -float(K), float(K))  # fused into the loop body
+            ai = jnp.abs(di - s)
             wi = jnp.maximum(0.0, 1.0 - ai)  # hat function = exact linear-interp weight
             w = wi if w is None else w * wi
             if compute_extrema:

@@ -107,9 +107,14 @@ def _stage_circular(padded: jnp.ndarray, C: int, aligns, lead_axes: int) -> jnp.
 _Y_OFF = 8  # y-halo offset in the staged slab (8-aligned, ≥ C for K ≤ 7)
 
 
-def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
-                     compute_extrema: bool = False, interpret: bool = False):
-    """See module docstring. padded: (X+2C, Y+2C, Z+2C); disp3: (3, X, Y, Z).
+def window_interp_3d(padded: jnp.ndarray, disp3, K: int,
+                     compute_extrema: bool = False, negate: bool = False,
+                     interpret: bool = False):
+    """See module docstring. padded: (X+2C, Y+2C, Z+2C); disp3: (3, X, Y, Z)
+    stacked OR a sequence of three (X, Y, Z) arrays — the sequence form feeds
+    each axis as its own pallas operand, skipping the jnp.stack HBM pass.
+    ``negate`` flips the displacement sign IN-KERNEL (MacCormack's forward
+    pass = −backward displacement without materializing the negation).
     Arbitrary Y/Z sizes: aux/grid are zero-padded to (8,128)-aligned shapes and
     the outputs cropped (δ=0 in the pad region reads slab values — harmless).
 
@@ -120,12 +125,14 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
     footprint under the 16MB scoped limit at 512³ (full 512×512 planes + DMA
     double-buffering overflow it)."""
     C = K
-    X, Y0, Z0 = disp3.shape[1], disp3.shape[2], disp3.shape[3]
+    dxyz = [disp3[i] for i in range(3)]
+    X, Y0, Z0 = dxyz[0].shape
     Y = ((Y0 + 7) // 8) * 8
     Z = ((Z0 + 127) // 128) * 128
-    disp3 = jnp.clip(disp3, -float(K), float(K))
+    # displacement clamping to ±K happens IN-KERNEL on the VMEM-resident aux
+    # planes — a jnp.clip here would cost a full extra HBM pass over (3,X,Y,Z)
     if (Y, Z) != (Y0, Z0):
-        disp3 = jnp.pad(disp3, ((0, 0), (0, 0), (0, Y - Y0), (0, Z - Z0)))
+        dxyz = [jnp.pad(d, ((0, 0), (0, Y - Y0), (0, Z - Z0))) for d in dxyz]
         padded = jnp.pad(padded, ((0, 0), (0, 0 if Y == Y0 else Y - Y0), (0, 0 if Z == Z0 else Z - Z0)))
     # stage: z circular (single concat = pad-to-aligned + rotate by −C fused),
     # y placed at fixed offset 8 via one asymmetric pad — 2 HBM passes total
@@ -174,53 +181,58 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
     _roll = _make_roll(interpret)
     W = 2 * K + 1
 
-    def compute(slab, disp_ref, out_refs):
-        dx_, dy_, dz_ = disp_ref[0], disp_ref[1], disp_ref[2]
+    def compute(slab, disp_refs, out_refs):
+        kf = float(K)
+        sgn = -1.0 if negate else 1.0
+        dx_ = jnp.clip(sgn * disp_refs[0][:], -kf, kf)
+        dy_ = jnp.clip(sgn * disp_refs[1][:], -kf, kf)
+        dz_ = jnp.clip(sgn * disp_refs[2][:], -kf, kf)
         acc0 = jnp.zeros((TILE, YT, Z), jnp.float32)
         lo0 = jnp.full((TILE, YT, Z), big, jnp.float32)
         up0 = jnp.full((TILE, YT, Z), -big, jnp.float32)
         slab_v = slab[:]  # full (TILE+2C, YT+2·OFF, Zs) tile incl. halos
 
         # Loop nesting puts the expensive vector ROLLS on the outer axes and the
-        # cheap leading-axis slices innermost: z-rolls run W−1 times, y-rolls
-        # W·(W−1) times (STATIC shifts: zero shifts skip the rotate entirely),
-        # and the W³ x-windows are static leading-axis slices — register-
-        # addressed, no lane movement. Total shifted traffic ≈ W²−1 slab rolls
-        # instead of the naive W³+W², with weights computed inline.
-        # out = Σ_sz wz · Σ_sy wy · Σ_sx wx · window   (hierarchical FMA)
+        # cheap leading-axis slices innermost. y is OUTER so the y-window slice
+        # (OFF:OFF+YT) happens immediately after each of the W y-rolls — the W²
+        # inner z-rolls then rotate the y-SLICED array (YT rows instead of
+        # YT+2·OFF), cutting the dominant roll traffic by 2·OFF/(YT+2·OFF).
+        # The W³ x-windows are static leading-axis slices — register-addressed,
+        # no lane movement. STATIC zero shifts skip the rotate entirely.
+        # out = Σ_sy wy · Σ_sz wz · Σ_sx wx · window   (hierarchical FMA)
         acc, lo_acc, up_acc = acc0, lo0, up0
-        for iz in range(W):
-            sz = iz - K
-            zs = _roll(slab_v, -sz, 2)
-            az = jnp.abs(dz_ - sz)
-            wz = jnp.maximum(0., 1. - az)
-            zm = az < 1.
-            y_acc = jnp.zeros((TILE, YT, Z), jnp.float32)
-            for iy in range(W):
-                sy = iy - K
-                yz = _roll(zs, -sy, 1)[:, _Y_OFF:_Y_OFF + YT, :Z]  # (TILE+2C, YT, Z)
-                ay = jnp.abs(dy_ - sy)
-                wy = jnp.maximum(0., 1. - ay)
-                yzm = zm & (ay < 1.)
+        for iy in range(W):
+            sy = iy - K
+            ys = _roll(slab_v, -sy, 1)[:, _Y_OFF:_Y_OFF + YT, :]  # (TILE+2C, YT, Zs)
+            ay = jnp.abs(dy_ - sy)
+            wy = jnp.maximum(0., 1. - ay)
+            ym = ay < 1.
+            z_acc = jnp.zeros((TILE, YT, Z), jnp.float32)
+            for iz in range(W):
+                sz = iz - K
+                zy = _roll(ys, -sz, 2)[:, :, :Z]  # (TILE+2C, YT, Z)
+                az = jnp.abs(dz_ - sz)
+                wz = jnp.maximum(0., 1. - az)
+                zym = ym & (az < 1.)
                 x_acc = jnp.zeros((TILE, YT, Z), jnp.float32)
                 for ix in range(W):
                     sx = ix - K
-                    window = yz[C + sx:C + sx + TILE]
+                    window = zy[C + sx:C + sx + TILE]
                     ax = jnp.abs(dx_ - sx)
                     x_acc = x_acc + window * jnp.maximum(0., 1. - ax)
                     if compute_extrema:
-                        cm = yzm & (ax < 1.)
+                        cm = zym & (ax < 1.)
                         lo_acc = jnp.minimum(lo_acc, jnp.where(cm, window, big))
                         up_acc = jnp.maximum(up_acc, jnp.where(cm, window, -big))
-                y_acc = y_acc + x_acc * wy
-            acc = acc + y_acc * wz
+                z_acc = z_acc + x_acc * wz
+            acc = acc + z_acc * wy
         out_refs[0][:] = acc
         if compute_extrema:
             out_refs[1][:] = lo_acc
             out_refs[2][:] = up_acc
 
     if _TPU and not interpret:
-        def kernel(slab_hbm, disp_ref, *out_refs):
+        def kernel(slab_hbm, dx_ref, dy_ref, dz_ref, *out_refs):
             def body(slab_vmem, sem):
                 cp = pltpu.make_async_copy(
                     slab_hbm.at[pl.ds(pl.program_id(0) * TILE, TILE + 2 * C),
@@ -228,19 +240,19 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
                     slab_vmem, sem)
                 cp.start()
                 cp.wait()
-                compute(slab_vmem, disp_ref, out_refs)
+                compute(slab_vmem, (dx_ref, dy_ref, dz_ref), out_refs)
             pl.run_scoped(body, slab_vmem=pltpu.VMEM((TILE + 2 * C, YT + 2 * _Y_OFF, Zs), jnp.float32),
                           sem=pltpu.SemaphoreType.DMA)
         in0_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        aux_spec = pl.BlockSpec((3, TILE, YT, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM)
+        aux_spec = pl.BlockSpec((TILE, YT, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((TILE, YT, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     else:
-        def kernel(slab_hbm, disp_ref, *out_refs):
+        def kernel(slab_hbm, dx_ref, dy_ref, dz_ref, *out_refs):
             compute(slab_hbm.at[pl.ds(pl.program_id(0) * TILE, TILE + 2 * C),
                                 pl.ds(pl.program_id(1) * YT, YT + 2 * _Y_OFF)],
-                    disp_ref, out_refs)
+                    (dx_ref, dy_ref, dz_ref), out_refs)
         in0_spec = pl.BlockSpec()
-        aux_spec = pl.BlockSpec((3, TILE, YT, Z), lambda i, j: (0, i, j, 0))
+        aux_spec = pl.BlockSpec((TILE, YT, Z), lambda i, j: (i, j, 0))
         out_spec = pl.BlockSpec((TILE, YT, Z), lambda i, j: (i, j, 0))
 
     out_shapes = tuple(jax.ShapeDtypeStruct((X, Y, Z), jnp.float32) for _ in range(n_out))
@@ -248,28 +260,30 @@ def window_interp_3d(padded: jnp.ndarray, disp3: jnp.ndarray, K: int,
     result = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[in0_spec, aux_spec],
+        in_specs=[in0_spec, aux_spec, aux_spec, aux_spec],
         out_specs=tuple(out_spec for _ in range(n_out)) if n_out > 1 else out_spec,
         out_shape=out_shapes if n_out > 1 else out_shapes[0],
         interpret=interpret,
         **({'compiler_params': cp} if cp is not None else {}),
-    )(slab_full, disp3)
+    )(slab_full, *(d.astype(jnp.float32) for d in dxyz))
     if (Y, Z) != (Y0, Z0):
         crop = lambda a: a[:, :Y0, :Z0]
         result = tuple(crop(r) for r in result) if n_out > 1 else crop(result)
     return result
 
 
-def window_interp_2d(padded: jnp.ndarray, disp2: jnp.ndarray, K: int,
-                     compute_extrema: bool = False, interpret: bool = False):
-    """2D variant: both axes shifted via roll (x = sublane @8, y = lane @128)."""
+def window_interp_2d(padded: jnp.ndarray, disp2, K: int,
+                     compute_extrema: bool = False, negate: bool = False,
+                     interpret: bool = False):
+    """2D variant: both axes shifted via roll (x = sublane @8, y = lane @128).
+    disp2: (2, X, Y) stacked or a sequence of two (X, Y) arrays."""
     C = K
-    X0, Y0 = disp2.shape[1], disp2.shape[2]
+    dxy = [disp2[i] for i in range(2)]
+    X0, Y0 = dxy[0].shape
     X = ((X0 + 7) // 8) * 8
     Y = ((Y0 + 127) // 128) * 128
-    disp2 = jnp.clip(disp2, -float(K), float(K))
     if (X, Y) != (X0, Y0):
-        disp2 = jnp.pad(disp2, ((0, 0), (0, X - X0), (0, Y - Y0)))
+        dxy = [jnp.pad(d, ((0, X - X0), (0, Y - Y0))) for d in dxy]
         padded = jnp.pad(padded, ((0, X - X0), (0, Y - Y0)))
     slab = _stage_circular(padded, C, (8, 128), lead_axes=0)
     big = np.float32(3.4e38)
@@ -278,9 +292,12 @@ def window_interp_2d(padded: jnp.ndarray, disp2: jnp.ndarray, K: int,
 
     W = 2 * K + 1
 
-    def kernel(slab_ref, disp_ref, *out_refs):
+    def kernel(slab_ref, dx_ref, dy_ref, *out_refs):
         s_full = slab_ref[:]
-        dx_, dy_ = disp_ref[0], disp_ref[1]
+        kf = float(K)
+        sgn = -1.0 if negate else 1.0
+        dx_ = jnp.clip(sgn * dx_ref[:], -kf, kf)  # in-kernel clamp (no HBM pre-pass)
+        dy_ = jnp.clip(sgn * dy_ref[:], -kf, kf)
         acc0 = jnp.zeros((X, Y), jnp.float32)
         lo0 = jnp.full((X, Y), big, jnp.float32)
         up0 = jnp.full((X, Y), -big, jnp.float32)
@@ -322,12 +339,12 @@ def window_interp_2d(padded: jnp.ndarray, disp2: jnp.ndarray, K: int,
     cp = _compiler_params() if _TPU and not interpret else None
     result = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(**kwargs), pl.BlockSpec(**kwargs)],
+        in_specs=[pl.BlockSpec(**kwargs), pl.BlockSpec(**kwargs), pl.BlockSpec(**kwargs)],
         out_specs=tuple(pl.BlockSpec(**kwargs) for _ in range(n_out)) if n_out > 1 else pl.BlockSpec(**kwargs),
         out_shape=out_shapes if n_out > 1 else out_shapes[0],
         interpret=interpret,
         **({'compiler_params': cp} if cp is not None else {}),
-    )(slab, disp2)
+    )(slab, *(d.astype(jnp.float32) for d in dxy))
     if (X, Y) != (X0, Y0):
         crop = lambda a: a[:X0, :Y0]
         result = tuple(crop(r) for r in result) if n_out > 1 else crop(result)

@@ -260,13 +260,17 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
                 + inv_y * (my_t * pym + ayp * pyp) \
                 + inv_z * (mz_t * pzm + azp * pzp) + c0_t * pc
         else:
-            gx = pl.program_id(0) * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, Y, Z), 0)
-            gy = jax.lax.broadcasted_iota(jnp.int32, (TILE, Y, Z), 1)
-            gz = jax.lax.broadcasted_iota(jnp.int32, (TILE, Y, Z), 2)
+            # BROADCASTABLE 1-D profiles — (T,1,1)/(1,Y,1)/(1,1,Z) shaped, so the
+            # wheres run on rows/planes and the FMAs broadcast in-register. The
+            # earlier full (TILE,Y,Z) iota/where materialization tripled the
+            # kernel's VMEM traffic (measured 2.96 ms → this form ~matches the
+            # fused-Jacobi kernel's per-sweep cost).
             one = jnp.float32(1.)
             zero = jnp.float32(0.)
 
             def prof(g, n, lo_mode, hi_mode):
+                if (lo_mode, hi_mode) == (PERIODIC, PERIODIC):
+                    return one, one, jnp.float32(-2.)
                 am = jnp.where(g > 0, one, one if lo_mode == PERIODIC else zero)
                 ap = jnp.where(g < n - 1, one, one if hi_mode == PERIODIC else zero)
                 c0d = jnp.full_like(am, -2.)
@@ -275,9 +279,10 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
                 if hi_mode != PERIODIC:
                     c0d = jnp.where(g == n - 1, np.float32(-(1. + (1. if hi_mode == GHOST0 else 0.))), c0d)
                 return am, ap, c0d
+            gx = pl.program_id(0) * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1, 1), 0)
             axm, axp, c0x = prof(gx, X, *bc[0])
-            aym, ayp, c0y = prof(gy, Y, *bc[1])
-            azm, azp, c0z = prof(gz, Z, *bc[2])
+            aym, ayp, c0y = prof(jax.lax.broadcasted_iota(jnp.int32, (1, Y, 1), 1), Y, *bc[1])
+            azm, azp, c0z = prof(jax.lax.broadcasted_iota(jnp.int32, (1, 1, Z), 2), Z, *bc[2])
             lap = inv_x * (axm * pxm + axp * pxp + c0x * pc) \
                 + inv_y * (aym * pym + ayp * pyp + c0y * pc) \
                 + inv_z * (azm * pzm + azp * pzp + c0z * pc)

@@ -130,6 +130,87 @@ def _displacement(field: Field, velocity: Field, dt, integrator, v0=None) -> Ten
     return lookup - field.points
 
 
+def _euler_disp_natives(field: Field, velocity: Field, dt_signed):
+    """Fast-path displacement builder for window advection with the euler
+    integrator: per-axis raw jnp displacement arrays in CELL units at `field`'s
+    sample points, with the dt/dx scaling FUSED into each resample expression.
+
+    Skips the generic path's dual-vector Tensor stacking/slicing (several full
+    HBM passes over the (d, X, Y, Z) stack per call at 256³+) by handing the
+    window kernel one materialized array per axis — and the same-component
+    case (v_x at x-faces) aliases the existing component array outright.
+
+    Returns {t_dim: [disp_axis0, ...]} for staggered fields, [disp_axis0, ...]
+    for centered fields, or None when the layout is unsupported (non-grid,
+    mismatched bounds/resolution, extra batch dims — generic path applies).
+    """
+    from ..geom import UniformGrid
+    import numpy as np
+    if not (field.is_grid and velocity.is_grid and velocity.is_staggered):
+        return None
+    if not isinstance(field.geometry, UniformGrid) or not isinstance(velocity.geometry, UniformGrid):
+        return None
+    if field.geometry.bounds != velocity.geometry.bounds or field.resolution != velocity.resolution:
+        return None
+    names = field.resolution.names
+    try:
+        dx = np.asarray(field.dx.native(field.dx.shape.names), np.float64)
+    except Exception:
+        return None
+    from ..field._resample import sample_grid_at_centers
+
+    def disp_at(comp_field, t_dim):
+        target_grid = field.geometry if t_dim is None else comp_field.geometry
+        if not isinstance(target_grid, UniformGrid):
+            raise _FastPathUnsupported()
+        out = []
+        for i, s in enumerate(names):
+            if t_dim is not None and s == t_dim:
+                vals = velocity.vector[s].values  # own faces: identity, zero-copy
+            else:
+                vals = sample_grid_at_centers(velocity.vector[s], target_grid)
+            if set(vals.shape.names) != set(names):
+                raise _FastPathUnsupported()
+            # native(names) fixes the axis ORDER; the transpose fuses into the
+            # operand materialization XLA performs for the pallas call anyway
+            out.append(vals.native(names) * (float(dt_signed) / float(dx[i])))
+        return out
+
+    try:
+        if field.is_staggered:
+            return {t: disp_at(field.vector[t], t) for t in names}
+        return disp_at(field, None)
+    except Exception:
+        return None
+
+
+class _FastPathUnsupported(Exception):
+    pass
+
+
+def _window_interp_field_native(field: Field, disp_map, max_cells: int,
+                                extrema=False, negate=False):
+    """Window-interpolate `field` at its own points displaced by the raw
+    per-axis arrays from `_euler_disp_natives` (already in cell units)."""
+    from ..math._nd import shift_window_interp
+    if field.is_staggered:
+        comps, los, ups = [], [], []
+        for dim in field.resolution.names:
+            comp = field.vector[dim]
+            r = shift_window_interp(comp.values, disp_map[dim], comp.boundary, max_cells,
+                                    compute_extrema=extrema, negate=negate)
+            if extrema:
+                comps.append(r[0]); los.append(r[1]); ups.append(r[2])
+            else:
+                comps.append(r)
+        values = stack(comps, dual(vector=field.resolution.names))
+        if extrema:
+            return values, stack(los, dual(vector=field.resolution.names)), stack(ups, dual(vector=field.resolution.names))
+        return values
+    return shift_window_interp(field.values, disp_map, field.boundary, max_cells,
+                               compute_extrema=extrema, negate=negate)
+
+
 def _window_interp_field(field: Field, displacement: Tensor, max_cells: int, extrema=False):
     """Interpolate `field` at its own points displaced by `displacement` (world
     units) via bounded window shifts (TPU-native gather replacement, see
@@ -270,6 +351,10 @@ def semi_lagrangian(field: Field, velocity: Field, dt: float, integrator=euler,
             field = semi_lagrangian(field, velocity, dt / substeps, integrator, max_cells)
         return field
     if field.is_grid and max_cells is not None:
+        if integrator is euler:
+            fast = _euler_disp_natives(field, velocity, -dt)
+            if fast is not None:
+                return field.with_values(_window_interp_field_native(field, fast, max_cells))
         disp = _displacement(field, velocity, -dt, integrator)
         _warn_if_clamped(disp, field, max_cells, 'semi_lagrangian')
         values = _window_interp_field(field, disp, max_cells)
@@ -315,6 +400,22 @@ def mac_cormack(field: Field, velocity: Field, dt: float, correction_strength=1.
         for _ in range(substeps):
             field = mac_cormack(field, velocity, dt / substeps, correction_strength, integrator, max_cells)
         return field
+    if field.is_grid and max_cells is not None and integrator is euler:
+        fast = _euler_disp_natives(field, velocity, -dt)  # backward displacement
+        if fast is not None:
+            # euler: forward displacement == −backward — reuse the SAME arrays
+            # with the kernel's in-register negate instead of materializing −d
+            fwd_vals, lim_lo, lim_up = _window_interp_field_native(field, fast, max_cells, extrema=True)
+            fwd_adv = field.with_values(fwd_vals)
+            bwd_vals = _window_interp_field_native(fwd_adv, fast, max_cells, negate=True)
+            bwd_adv = fwd_adv.with_values(bwd_vals)
+            new_field = fwd_adv + correction_strength * 0.5 * (field - bwd_adv)
+            if field.is_staggered:
+                comps = [ops.clip(new_field.vector[dim].values,
+                                  lim_lo[{'~vector': dim}], lim_up[{'~vector': dim}])
+                         for dim in field.resolution.names]
+                return field.with_values(stack(comps, dual(vector=field.resolution.names)))
+            return field.with_values(ops.clip(new_field.values, lim_lo, lim_up))
     v0 = _sample_velocity(velocity, field)
     if field.is_grid and max_cells is not None:
         disp_bwd = _displacement(field, velocity, -dt, integrator, v0=v0)

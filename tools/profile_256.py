@@ -36,21 +36,38 @@ for _ in range(3):
 jax.block_until_ready(v.values.components[0].native())
 
 
-def timed(label, fn, *args, n=N):
-    """fn: state -> state, iterated n times inside one jit via scan."""
-    def many(*a):
-        def body(carry, _):
-            return fn(*carry), None
-        out, _ = jax.lax.scan(body, a, None, length=n)
-        return out
-    f = jax.jit(many)
-    out = f(*args)
-    leaves = jax.tree_util.tree_leaves(out)
-    jax.block_until_ready(leaves[0])
-    t0 = time.perf_counter()
-    out = f(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-    dt = (time.perf_counter() - t0) / n * 1000
+def _sync(out):
+    """Force execution: on-device reduce + fetch ONE scalar per leaf group
+    (block_until_ready alone has proven unreliable through the axon tunnel)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    while hasattr(leaf, 'components'):
+        leaf = leaf.components[0]
+    if hasattr(leaf, 'native'):
+        leaf = leaf.native()
+    return float(np.asarray(jnp.sum(leaf)))
+
+
+def timed(label, fn, *args, n=N, reps=3):
+    """DIFFERENTIAL scan timing: the axon tunnel adds a large VARIABLE
+    round-trip latency (~27-35 ms) to every synced dispatch, so a single
+    total/n reading is biased by latency/n. Time scan-of-n and scan-of-2n,
+    take the min over reps of each, and report (T(2n) - T(n)) / n — the fixed
+    latency cancels exactly."""
+    def make(length):
+        def many(*a):
+            def body(carry, _):
+                return fn(*carry), None
+            out, _ = jax.lax.scan(body, a, None, length=length)
+            return out
+        return jax.jit(many)
+
+    f1, f2 = make(n), make(2 * n)
+    _sync(f1(*args)); _sync(f2(*args))  # compile both
+    t1 = t2 = float('inf')
+    for _ in range(reps):
+        t0 = time.perf_counter(); _sync(f1(*args)); t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter(); _sync(f2(*args)); t2 = min(t2, time.perf_counter() - t0)
+    dt = (t2 - t1) / n * 1000
     print(f"{label:42s} {dt:8.2f} ms")
     return dt
 
@@ -99,19 +116,37 @@ from phiflow_tpu.ops import poisson
 a3 = arr.reshape((RES,) * 3)
 timed('  poisson matvec (1 apply)', lambda a: (poisson.poisson_apply(a, (1., 1., 1.), bcs),), a3)
 
-# window kernel alone (K=1 and K=2), one component
+# window kernel alone (K=1 and K=2), one component — chain output back into the
+# padded source so the scan carry keeps a consistent shape (realistic reuse, too)
 from phiflow_tpu.ops.interp import window_interp_3d
-pad1 = jnp.pad(a3, 1)
-pad2 = jnp.pad(a3, 2)
 disp = jnp.zeros((3,) + (RES,) * 3, jnp.float32) + 0.3
-timed('  window_interp_3d K=1', lambda d: (window_interp_3d(pad1, d, 1),), disp)
-timed('  window_interp_3d K=2', lambda d: (window_interp_3d(pad2, d, 2),), disp)
-timed('  window_interp_3d K=1 extrema', lambda d: (window_interp_3d(pad1, d, 1, compute_extrema=True)[0],), disp)
 
-# displacement computation alone (staggered self-sampling)
-from phiflow_tpu.physics.advect import _displacement
-def disp_fn(v):
-    d = _displacement(v, v, -model.dt, advect.euler)
-    comps = [d[{'~vector': dim}] for dim in v.resolution.names]
-    return tuple(c._contiguous() if hasattr(c, '_contiguous') else c for c in comps)
-timed('  _displacement(v, v)', lambda v: (v, disp_fn(v)), v)
+
+def win(K, **kw):
+    def f(pad, d):
+        out = window_interp_3d(pad, d, K, **kw)
+        if isinstance(out, tuple):
+            out = out[0]
+        return pad.at[(slice(K, -K),) * 3].set(out), d
+    return f
+
+
+timed('  window_interp_3d K=1', win(1), jnp.pad(a3, 1), disp)
+timed('  window_interp_3d K=2', win(2), jnp.pad(a3, 2), disp)
+timed('  window_interp_3d K=1 extrema', win(1, compute_extrema=True), jnp.pad(a3, 1), disp)
+
+# displacement fast-path builder alone (9 per-pair resamples, dt/dx fused)
+from phiflow_tpu.physics.advect import _euler_disp_natives
+
+fast_probe = _euler_disp_natives(v, v, -model.dt)
+print(f"  fast disp path engaged: {fast_probe is not None}")
+
+
+def disp_probe(vv):
+    fast = _euler_disp_natives(vv, vv, -model.dt)
+    s = sum(jnp.sum(a) for arrs in fast.values() for a in arrs)
+    return (vv * (1.0 + 0.0 * s),)
+
+
+timed('  _euler_disp_natives(v) + v-copy', disp_probe, v)
+timed('  v-copy alone (baseline for above)', lambda vv: (vv * 1.0000001,), v)
