@@ -134,7 +134,8 @@ def make_poisson_vcycle(resolution: Tuple[int, ...], dx: Tuple[float, ...], bcs,
         # skip_first (u == 0) the zero-start sweep u = w·b fuses in as well,
         # so e.g. ν=3 pre-smoothing is ONE kernel pass (ops/poisson.py).
         w = np.float32(omega / (-2.0 * sum(inv_dx2)))
-        return poisson_smooth(u, b, inv_dx2, bcs, w, sweeps, zero_init=skip_first)
+        return poisson_smooth(u, b, inv_dx2, bcs, w, sweeps, zero_init=skip_first,
+                              fuse_pairs=True)
 
     def vcycle_level(b, level: int):
         res_l, inv_dx2 = levels[level]

@@ -154,11 +154,12 @@ def window_interp_3d(padded: jnp.ndarray, disp3, K: int,
     W = 2 * K + 1
 
     def vmem_elems(tile, yt):
-        slab_b = (tile + 2 * C) * (yt + 2 * _Y_OFF) * Zs   # run_scoped slab
+        slab_b = 2 * (tile + 2 * C) * (yt + 2 * _Y_OFF) * Zs  # double-buffered slab scratch
         io_b = 2 * (3 + n_out) * tile * yt * Z             # aux+out blocks, double-buffered
         carry_b = (n_out + 3) * tile * yt * Z              # acc/lo/up carries + x/y partials
-        roll_b = 3 * slab_b                                # slab value + z-roll + y-roll temporaries
-        return slab_b + io_b + carry_b + roll_b
+        wts_b = 3 * W * (2 if compute_extrema else 1) * tile * yt * Z  # hoisted weight/mask planes
+        roll_b = 3 * (tile + 2 * C) * (yt + 2 * _Y_OFF) * Zs  # slab value + roll temporaries
+        return slab_b + io_b + carry_b + wts_b + roll_b
 
     def traffic(tile, yt):
         slab_b = (tile + 2 * C) * (yt + 2 * _Y_OFF) * Zs
@@ -192,6 +193,18 @@ def window_interp_3d(padded: jnp.ndarray, disp3, K: int,
         up0 = jnp.full((TILE, YT, Z), -big, jnp.float32)
         slab_v = slab[:]  # full (TILE+2C, YT+2·OFF, Zs) tile incl. halos
 
+        # Per-axis weight planes are HOISTED: wx/wz/ (and the extrema masks)
+        # depend only on their own tap index, so computing them inside the
+        # (iy, iz) nest repeated the abs/max W²-fold — ~30% of the kernel's VPU
+        # work at K=1. One plane per (axis, tap) now, reused by every iteration.
+        wxs = [jnp.maximum(0., 1. - jnp.abs(dx_ - (ix - K))) for ix in range(W)]
+        wys = [jnp.maximum(0., 1. - jnp.abs(dy_ - (iy - K))) for iy in range(W)]
+        wzs = [jnp.maximum(0., 1. - jnp.abs(dz_ - (iz - K))) for iz in range(W)]
+        if compute_extrema:
+            xms = [jnp.abs(dx_ - (ix - K)) < 1. for ix in range(W)]
+            yms = [jnp.abs(dy_ - (iy - K)) < 1. for iy in range(W)]
+            zms = [jnp.abs(dz_ - (iz - K)) < 1. for iz in range(W)]
+
         # Loop nesting puts the expensive vector ROLLS on the outer axes and the
         # cheap leading-axis slices innermost. y is OUTER so the y-window slice
         # (OFF:OFF+YT) happens immediately after each of the W y-rolls — the W²
@@ -204,48 +217,64 @@ def window_interp_3d(padded: jnp.ndarray, disp3, K: int,
         for iy in range(W):
             sy = iy - K
             ys = _roll(slab_v, -sy, 1)[:, _Y_OFF:_Y_OFF + YT, :]  # (TILE+2C, YT, Zs)
-            ay = jnp.abs(dy_ - sy)
-            wy = jnp.maximum(0., 1. - ay)
-            ym = ay < 1.
             z_acc = jnp.zeros((TILE, YT, Z), jnp.float32)
             for iz in range(W):
                 sz = iz - K
                 zy = _roll(ys, -sz, 2)[:, :, :Z]  # (TILE+2C, YT, Z)
-                az = jnp.abs(dz_ - sz)
-                wz = jnp.maximum(0., 1. - az)
-                zym = ym & (az < 1.)
+                if compute_extrema:
+                    yzm = yms[iy] & zms[iz]
                 x_acc = jnp.zeros((TILE, YT, Z), jnp.float32)
                 for ix in range(W):
                     sx = ix - K
                     window = zy[C + sx:C + sx + TILE]
-                    ax = jnp.abs(dx_ - sx)
-                    x_acc = x_acc + window * jnp.maximum(0., 1. - ax)
+                    x_acc = x_acc + window * wxs[ix]
                     if compute_extrema:
-                        cm = zym & (ax < 1.)
+                        cm = yzm & xms[ix]
                         lo_acc = jnp.minimum(lo_acc, jnp.where(cm, window, big))
                         up_acc = jnp.maximum(up_acc, jnp.where(cm, window, -big))
-                z_acc = z_acc + x_acc * wz
-            acc = acc + z_acc * wy
+                z_acc = z_acc + x_acc * wzs[iz]
+            acc = acc + z_acc * wys[iy]
         out_refs[0][:] = acc
         if compute_extrema:
             out_refs[1][:] = lo_acc
             out_refs[2][:] = up_acc
 
+    NY = Y // YT
+    n_total = (X // TILE) * NY
+
     if _TPU and not interpret:
-        def kernel(slab_hbm, dx_ref, dy_ref, dz_ref, *out_refs):
-            def body(slab_vmem, sem):
-                cp = pltpu.make_async_copy(
-                    slab_hbm.at[pl.ds(pl.program_id(0) * TILE, TILE + 2 * C),
-                                pl.ds(pl.program_id(1) * YT, YT + 2 * _Y_OFF)],
-                    slab_vmem, sem)
-                cp.start()
-                cp.wait()
-                compute(slab_vmem, (dx_ref, dy_ref, dz_ref), out_refs)
-            pl.run_scoped(body, slab_vmem=pltpu.VMEM((TILE + 2 * C, YT + 2 * _Y_OFF, Zs), jnp.float32),
-                          sem=pltpu.SemaphoreType.DMA)
+        def kernel(slab_hbm, dx_ref, dy_ref, dz_ref, *rest):
+            out_refs = rest[:n_out]
+            slabs, sems = rest[n_out], rest[n_out + 1]
+            # Double-buffered slab pipeline: start tile g+1's DMA before
+            # computing tile g, so the copy overlaps the window loop (the
+            # blocked disp/out streams are auto-pipelined by Pallas already).
+            g = pl.program_id(0) * NY + pl.program_id(1)
+
+            def copy_for(step, slot):
+                i = step // NY
+                j = step - i * NY
+                return pltpu.make_async_copy(
+                    slab_hbm.at[pl.ds(i * TILE, TILE + 2 * C),
+                                pl.ds(j * YT, YT + 2 * _Y_OFF)],
+                    slabs.at[slot], sems.at[slot])
+
+            @pl.when(g == 0)
+            def _():
+                copy_for(0, 0).start()
+
+            @pl.when(g + 1 < n_total)
+            def _():
+                copy_for(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+            slot = jax.lax.rem(g, 2)
+            copy_for(g, slot).wait()
+            compute(slabs.at[slot], (dx_ref, dy_ref, dz_ref), out_refs)
         in0_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         aux_spec = pl.BlockSpec((TILE, YT, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((TILE, YT, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((2, TILE + 2 * C, YT + 2 * _Y_OFF, Zs), jnp.float32),
+                   pltpu.SemaphoreType.DMA((2,))]
     else:
         def kernel(slab_hbm, dx_ref, dy_ref, dz_ref, *out_refs):
             compute(slab_hbm.at[pl.ds(pl.program_id(0) * TILE, TILE + 2 * C),
@@ -254,6 +283,7 @@ def window_interp_3d(padded: jnp.ndarray, disp3, K: int,
         in0_spec = pl.BlockSpec()
         aux_spec = pl.BlockSpec((TILE, YT, Z), lambda i, j: (i, j, 0))
         out_spec = pl.BlockSpec((TILE, YT, Z), lambda i, j: (i, j, 0))
+        scratch = []
 
     out_shapes = tuple(jax.ShapeDtypeStruct((X, Y, Z), jnp.float32) for _ in range(n_out))
     cp = _compiler_params() if _TPU and not interpret else None
@@ -264,6 +294,7 @@ def window_interp_3d(padded: jnp.ndarray, disp3, K: int,
         out_specs=tuple(out_spec for _ in range(n_out)) if n_out > 1 else out_spec,
         out_shape=out_shapes if n_out > 1 else out_shapes[0],
         interpret=interpret,
+        **({'scratch_shapes': scratch} if scratch else {}),
         **({'compiler_params': cp} if cp is not None else {}),
     )(slab_full, *(d.astype(jnp.float32) for d in dxyz))
     if (Y, Z) != (Y0, Z0):

@@ -62,6 +62,15 @@ def pallas_ok() -> bool:
         return False
 
 
+def _compiler_params():
+    """Raise Mosaic's scoped-VMEM cap to 32MB (v5e has 128MB VMEM/core) so the
+    2-D-tiled stencil kernel can pick halo-efficient tiles at 512³."""
+    if pltpu is None:
+        return None
+    cp = getattr(pltpu, 'CompilerParams', None) or getattr(pltpu, 'TPUCompilerParams', None)
+    return cp(vmem_limit_bytes=32 * 1024 * 1024) if cp is not None else None
+
+
 # ---------------------------------------------------------------------------
 # staging: face masks → cell-aligned coefficient arrays (once per solve)
 # ---------------------------------------------------------------------------
@@ -191,23 +200,48 @@ def _pick_tile(X, n_blocked, plane_elems, budget_bytes=11 * 1024 * 1024):
     return best
 
 
+def _pick_tile_xy(X, Y, Z, n_blocked, budget_bytes=22 * 1024 * 1024):
+    """(TX, TY) for the 2-D-tiled stencil kernel: minimize halo overhead
+    (1-row x halo + 1-row y halo per tile) subject to the double-buffered
+    blocked inputs + output + roll temporaries fitting VMEM (the kernel raises
+    Mosaic's scoped cap to 32MB via compiler params)."""
+    best = None
+    best_cost = None
+    for tx in [t for t in range(1, X + 1) if X % t == 0]:
+        for ty in [t for t in range(8, Y + 1, 8) if Y % t == 0]:
+            blk = tx * ty * Z
+            halos = 2 * (ty + tx) * Z
+            elems = 2 * (n_blocked + 1) * blk + 2 * 2 * halos + 4 * blk  # io + halos + roll temps
+            if elems * 4 > budget_bytes:
+                continue
+            # traffic model: every tile re-reads its 4 halo strips
+            cost = (X // tx) * (Y // ty) * (blk + halos)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (tx, ty), cost
+    return best or (1, 8)
+
+
 def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_diag,
                      interpret=False):
     """p: (X, Y, Z) float32. Returns same shape. See module docstring.
 
-    Layout: the x axis is tiled; every input uses a regular blocked VMEM spec so
-    Pallas double-buffers the HBM→VMEM pipeline automatically. The x-halo is
-    fetched as two single-row blocks of the SAME array via index maps addressing
-    rows i·T−1 and i·T+T (block shape (1, Y, Z) makes block units = element
-    rows) — no pre-staging pass, no extra HBM traffic beyond 2 rows per tile.
-    y/z neighbor shifts are in-register rotates whose wrap-around values are
-    annihilated by the zero boundary coefficients; x wrap (periodic) is handled
-    by taking the halo row indices modulo X.
+    Layout: 2-D tile grid over (x, y) — y-tiling keeps tiles VMEM-sized at
+    512³+ where full (T, Y, Z) slabs force T ≤ 2 and the two x-halo rows
+    double the HBM traffic. Every input uses a regular blocked VMEM spec so
+    Pallas double-buffers the HBM→VMEM pipeline automatically. Halos are
+    fetched as single-row blocks of the SAME arrays via index maps addressing
+    rows i·TX−1 / i·TX+TX (x) and columns j·TY−1 / j·TY+TY (y) — no
+    pre-staging pass. y/z neighbor shifts are in-register rotates; the y roll's
+    tile-internal wrap rows are substituted with the fetched y-halo rows
+    (iota-select), z wrap-around is annihilated by the zero boundary
+    coefficients (exact for periodic). x/y wrap for periodic BCs is handled by
+    taking halo indices modulo the axis size.
     """
     X, Y, Z = p.shape
     masked = mA_list is not None
     x_per = bc[0] == (PERIODIC, PERIODIC)
-    blocked = [p]        # (X, Y, Z) arrays, block (T, Y, Z)
+    y_per = bc[1] == (PERIODIC, PERIODIC)
+    blocked = [p]        # (X, Y, Z) arrays, block (TX, TY, Z)
     if masked:
         mx, my, mz = (m.astype(jnp.float32) for m in mA_list)
         blocked += [mx, my, mz, c0.astype(jnp.float32)]
@@ -215,8 +249,8 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
         blocked.append(active.astype(jnp.float32))
     if mode in ('residual', 'jacobi'):
         blocked.append(b)
-    TILE = _pick_tile(X, len(blocked), Y * Z)
-    grid = (X // TILE,)
+    TX, TY = _pick_tile_xy(X, Y, Z, len(blocked))
+    grid = (X // TX, Y // TY)
     n_b = len(blocked)
     inv_x, inv_y, inv_z = (np.float32(v) for v in inv_dx2)
     w_over_diag = None if omega_over_diag is None else np.float32(omega_over_diag)
@@ -228,43 +262,64 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
         def roll(a, shift, axis):
             return jnp.roll(a, shift, axis)
 
+    def shift_x(pc, lo_ref, hi_ref):
+        if TX > 1:
+            return (jnp.concatenate([lo_ref[:], pc[:TX - 1]], axis=0),
+                    jnp.concatenate([pc[1:], hi_ref[:]], axis=0))
+        return lo_ref[:], hi_ref[:]
+
+    def _y_edges():
+        ly = jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
+        return ly == 0, ly == TY - 1
+
+    def shift_y(pc, lo_ref, hi_ref):
+        """roll + substitute the wrapped tile-edge rows with the true halo rows.
+
+        Halo neighbors arrive as 8-row groups (Mosaic requires sublane blocks
+        divisible by 8): column j·TY−1 is row 7 of its group, column j·TY+TY is
+        row 0 (TY ≡ 0 mod 8). At clamped domain edges the selected row is
+        garbage — annihilated by the zero boundary coefficient."""
+        if TY >= Y:
+            return roll(pc, 1, 1), roll(pc, -1, 1)
+        y_first, y_last = _y_edges()
+        ym = jnp.where(y_first, lo_ref[:, 7:8], roll(pc, 1, 1))
+        yp = jnp.where(y_last, hi_ref[:, 0:1], roll(pc, -1, 1))
+        return ym, yp
+
     def kernel(*refs):
         p_ref = refs[0]
-        lo_ref, hi_ref = refs[n_b], refs[n_b + 1]
+        xlo_ref, xhi_ref, ylo_ref, yhi_ref = refs[n_b], refs[n_b + 1], refs[n_b + 2], refs[n_b + 3]
         out_ref = refs[-1]
         pc = p_ref[:]
-        if TILE > 1:
-            pxm = jnp.concatenate([lo_ref[:], pc[:TILE - 1]], axis=0)
-            pxp = jnp.concatenate([pc[1:], hi_ref[:]], axis=0)
-        else:
-            pxm = lo_ref[:]
-            pxp = hi_ref[:]
-        pym = roll(pc, 1, 1)
-        pyp = roll(pc, -1, 1)
+        pxm, pxp = shift_x(pc, xlo_ref, xhi_ref)
+        pym, pyp = shift_y(pc, ylo_ref, yhi_ref)
         pzm = roll(pc, 1, 2)
         pzp = roll(pc, -1, 2)
         k = 1
         if masked:
             mx_t = refs[k][:]; my_t = refs[k + 1][:]; mz_t = refs[k + 2][:]; c0_t = refs[k + 3][:]
             k += 4
-            mxhi_ref = refs[n_b + 2]
-            axp = jnp.concatenate([mx_t[1:], mxhi_ref[:]], axis=0) if TILE > 1 else mxhi_ref[:]
+            mxhi_ref, myhi_ref = refs[n_b + 4], refs[n_b + 5]
+            axp = jnp.concatenate([mx_t[1:], mxhi_ref[:]], axis=0) if TX > 1 else mxhi_ref[:]
             if not x_per:
                 # global last row: no upper x-neighbor — the clamped halo row
                 # (mA_x(X−1)) must not leak in; a⁺_x(X−1) is 0 by definition.
-                gx_m = pl.program_id(0) * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, Y, Z), 0)
+                gx_m = pl.program_id(0) * TX + jax.lax.broadcasted_iota(jnp.int32, (TX, 1, 1), 0)
                 axp = jnp.where(gx_m == X - 1, jnp.float32(0.), axp)
-            ayp = roll(my_t, -1, 1)
+            if TY >= Y:
+                ayp = roll(my_t, -1, 1)
+            else:
+                ayp = jnp.where(_y_edges()[1], myhi_ref[:, 0:1], roll(my_t, -1, 1))
+            if not y_per:
+                gy_m = pl.program_id(1) * TY + jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
+                ayp = jnp.where(gy_m == Y - 1, jnp.float32(0.), ayp)
             azp = roll(mz_t, -1, 2)
             lap = inv_x * (mx_t * pxm + axp * pxp) \
                 + inv_y * (my_t * pym + ayp * pyp) \
                 + inv_z * (mz_t * pzm + azp * pzp) + c0_t * pc
         else:
-            # BROADCASTABLE 1-D profiles — (T,1,1)/(1,Y,1)/(1,1,Z) shaped, so the
-            # wheres run on rows/planes and the FMAs broadcast in-register. The
-            # earlier full (TILE,Y,Z) iota/where materialization tripled the
-            # kernel's VMEM traffic (measured 2.96 ms → this form ~matches the
-            # fused-Jacobi kernel's per-sweep cost).
+            # BROADCASTABLE 1-D profiles — (TX,1,1)/(1,TY,1)/(1,1,Z) shaped, so
+            # the wheres run on rows/planes and the FMAs broadcast in-register.
             one = jnp.float32(1.)
             zero = jnp.float32(0.)
 
@@ -279,9 +334,10 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
                 if hi_mode != PERIODIC:
                     c0d = jnp.where(g == n - 1, np.float32(-(1. + (1. if hi_mode == GHOST0 else 0.))), c0d)
                 return am, ap, c0d
-            gx = pl.program_id(0) * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1, 1), 0)
+            gx = pl.program_id(0) * TX + jax.lax.broadcasted_iota(jnp.int32, (TX, 1, 1), 0)
+            gy = pl.program_id(1) * TY + jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
             axm, axp, c0x = prof(gx, X, *bc[0])
-            aym, ayp, c0y = prof(jax.lax.broadcasted_iota(jnp.int32, (1, Y, 1), 1), Y, *bc[1])
+            aym, ayp, c0y = prof(gy, Y, *bc[1])
             azm, azp, c0z = prof(jax.lax.broadcasted_iota(jnp.int32, (1, 1, Z), 2), Z, *bc[2])
             lap = inv_x * (axm * pxm + axp * pxp + c0x * pc) \
                 + inv_y * (aym * pym + ayp * pyp + c0y * pc) \
@@ -301,20 +357,29 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
         out_ref[:] = out
 
     kwargs = {'memory_space': pltpu.VMEM} if _TPU and not interpret else {}
-    tile_spec = pl.BlockSpec((TILE, Y, Z), lambda i: (i, 0, 0), **kwargs)
-    # halo rows as 1-row blocks of the same arrays: block units == element rows
-    n_tiles = X // TILE
+    tile_spec = pl.BlockSpec((TX, TY, Z), lambda i, j: (i, j, 0), **kwargs)
+    # halo strips as 1-row/1-column blocks of the same arrays (element units)
     if x_per:
-        lo_spec = pl.BlockSpec((1, Y, Z), lambda i: ((i * TILE - 1) % X, 0, 0), **kwargs)
-        hi_spec = pl.BlockSpec((1, Y, Z), lambda i: ((i * TILE + TILE) % X, 0, 0), **kwargs)
+        xlo = pl.BlockSpec((1, TY, Z), lambda i, j: ((i * TX - 1) % X, j, 0), **kwargs)
+        xhi = pl.BlockSpec((1, TY, Z), lambda i, j: ((i * TX + TX) % X, j, 0), **kwargs)
     else:
-        lo_spec = pl.BlockSpec((1, Y, Z), lambda i: (jnp.maximum(i * TILE - 1, 0), 0, 0), **kwargs)
-        hi_spec = pl.BlockSpec((1, Y, Z), lambda i: (jnp.minimum(i * TILE + TILE, X - 1), 0, 0), **kwargs)
-    extra = [p, p]
-    in_specs = [tile_spec] * n_b + [lo_spec, hi_spec]
+        xlo = pl.BlockSpec((1, TY, Z), lambda i, j: (jnp.maximum(i * TX - 1, 0), j, 0), **kwargs)
+        xhi = pl.BlockSpec((1, TY, Z), lambda i, j: (jnp.minimum(i * TX + TX, X - 1), j, 0), **kwargs)
+    # y halos as 8-row groups (block units along y are 8-element groups):
+    # lo group holds column j·TY−1 at row 7, hi group holds j·TY+TY at row 0
+    if y_per:
+        ylo = pl.BlockSpec((TX, 8, Z), lambda i, j: (i, ((j * TY - 1) % Y) // 8, 0), **kwargs)
+        yhi = pl.BlockSpec((TX, 8, Z), lambda i, j: (i, ((j * TY + TY) % Y) // 8, 0), **kwargs)
+    else:
+        # clamped edge group: the selected row is annihilated by the zero coeff
+        ylo = pl.BlockSpec((TX, 8, Z), lambda i, j: (i, jnp.maximum(j * TY - 1, 0) // 8, 0), **kwargs)
+        yhi = pl.BlockSpec((TX, 8, Z), lambda i, j: (i, jnp.minimum(j * TY + TY, Y - 1) // 8, 0), **kwargs)
+    extra = [p, p, p, p]
+    in_specs = [tile_spec] * n_b + [xlo, xhi, ylo, yhi]
     if masked:
-        extra.append(mA_list[0].astype(jnp.float32))
-        in_specs.append(hi_spec)  # mA_x(i·T+T); clamped row is annihilated by zero coeff... see below
+        extra += [mA_list[0].astype(jnp.float32), mA_list[1].astype(jnp.float32)]
+        in_specs += [xhi, yhi]  # mA_x(i·TX+TX), mA_y(j·TY+TY); clamped rows zeroed above
+    cp = _compiler_params()
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -322,6 +387,7 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
         out_specs=tile_spec,
         out_shape=jax.ShapeDtypeStruct((X, Y, Z), jnp.float32),
         interpret=interpret,
+        **({'compiler_params': cp} if cp is not None and _TPU and not interpret else {}),
     )(*(blocked + extra))
 
 
@@ -329,41 +395,56 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
 # fused two-sweep Jacobi (unmasked) — the V-cycle smoothing hot loop
 # ---------------------------------------------------------------------------
 
-def _divisor_tile(X, plane_elems, rows_coef, rows_const, budget_bytes=14 * 1024 * 1024):
-    """Largest tile T dividing X with (rows_coef·T + rows_const) VMEM rows in
-    budget; 0 if even T=1 does not fit (caller falls back to single sweeps)."""
-    best = 0
-    for t in range(1, X + 1):
-        if X % t:
-            continue
-        if (rows_coef * t + rows_const) * plane_elems * 4 <= budget_bytes:
-            best = t
+def _pick_tile_jacobi2(X, Y, Z, n_arrays, budget_bytes=22 * 1024 * 1024):
+    """(TX, TY) for the fused-pair kernel: TX even (x-halo blocks are 2 rows),
+    TY multiple of 8 (y halos arrive as 8-row groups). Returns None if nothing
+    fits — caller falls back to single sweeps."""
+    best = None
+    best_cost = None
+    for tx in [t for t in range(2, X + 1, 2) if X % t == 0]:
+        for ty in [t for t in range(8, Y + 1, 8) if Y % t == 0]:
+            ext = (tx + 4) * (ty + 16) * Z
+            blk = tx * ty * Z
+            elems = n_arrays * ext + 6 * blk + 2 * 2 * blk  # ext arrays + sweep temps + io
+            if elems * 4 > budget_bytes:
+                continue
+            cost = (X // tx) * (Y // ty) * ext
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (tx, ty), cost
     return best
 
 
 def _jacobi2_pallas_3d(p, b, inv_dx2, bc, w, zero_init, interpret=False):
     """TWO fused damped-Jacobi sweeps (three with ``zero_init``) in ONE HBM pass.
 
-    Sweep 1 is computed on an x-extended (T+2)-row block (x-halo of 2 fetched as
-    four single-row BlockSpecs of the same array); sweep 2 then only needs the
-    sweep-1 halo already in VMEM. With ``zero_init`` the initial iterate u₀ = w·b
-    is formed in-register from the b halo, so pre-smoothing with ν=3 costs a
-    single read of b. y/z neighbor shifts are in-register rolls whose wrap-around
-    is annihilated by the zero boundary coefficients (exact for periodic).
-    Sweep-1 values on domain-ghost rows are garbage but carry zero coefficient
-    into sweep 2. Unmasked operator only (the MG preconditioner's case).
+    2-D (x, y) tile grid. Each needed array is assembled in VMEM as a halo-
+    extended (TX+4, TY+16, Z) block from 9 BlockSpec pieces of the SAME HBM
+    array: the tile, two 2-row x-halo blocks, two 8-row y-halo groups, and four
+    (2, 8) corner blocks (Mosaic requires sublane blocks divisible by 8, hence
+    the 8-wide y groups; columns j·TY−8…j·TY−1 land at local 0…7). x/y neighbor
+    shifts are then plain SLICES of the extended block — no rolls, no wrap —
+    and z shifts stay in-register rolls whose wrap-around is annihilated by the
+    zero boundary coefficients (exact for periodic). Sweep 1 runs on the
+    (TX+2, TY+2) extended region; sweep 2 consumes its in-VMEM halo. With
+    ``zero_init`` the initial iterate u₀ = w·b is formed in-register, so
+    pre-smoothing with ν=3 costs a single read of b. Values fetched across
+    clamped domain edges are garbage with ZERO coefficient — they never enter.
+    Unmasked operator only (the MG preconditioner's case).
 
     Returns None if no tile fits VMEM (caller falls back).
     """
     X, Y, Z = b.shape
-    rows_coef, rows_const = (7, 24) if zero_init else (10, 28)
-    T = _divisor_tile(X, Y * Z, rows_coef, rows_const)
-    if T == 0:
+    if Y % 8 or X % 2:
         return None
-    grid = (X // T,)
+    picked = _pick_tile_jacobi2(X, Y, Z, 1 if zero_init else 2)
+    if picked is None:
+        return None
+    TX, TY = picked
+    grid = (X // TX, Y // TY)
     inv_x, inv_y, inv_z = (np.float32(v) for v in inv_dx2)
     w = np.float32(w)
     x_per = bc[0] == (PERIODIC, PERIODIC)
+    y_per = bc[1] == (PERIODIC, PERIODIC)
 
     if _TPU and not interpret:
         def roll(a, shift, axis):
@@ -386,53 +467,87 @@ def _jacobi2_pallas_3d(p, b, inv_dx2, bc, w, zero_init, interpret=False):
             c0d = jnp.where(g == n - 1, np.float32(-(1. + (1. if hi_mode == GHOST0 else 0.))), c0d)
         return am, ap, c0d
 
+    def assemble(core, xlo, xhi, ylo, yhi, c00, c01, c10, c11):
+        """(TX+4, TY+16, Z) halo-extended block from the 9 pieces."""
+        mid = jnp.concatenate([ylo[:], core[:], yhi[:]], axis=1)           # (TX, TY+16, Z)
+        top = jnp.concatenate([c00[:], xlo[:], c01[:]], axis=1)            # (2, TY+16, Z)
+        bot = jnp.concatenate([c10[:], xhi[:], c11[:]], axis=1)            # (2, TY+16, Z)
+        return jnp.concatenate([top, mid, bot], axis=0)
+
+    def sweep(u_ext, b_ext, profs, rx, ry, h):
+        """One damped-Jacobi sweep on the (rx, ry)-anchored (h_x, h_y) region.
+        u_ext must extend ±1 beyond the region; b_ext matches the region."""
+        (amx, apx, c0x), (amy, apy, c0y), (amz, apz, c0z) = profs
+        hx, hy = h
+        uc = u_ext[rx:rx + hx, ry:ry + hy]
+        lap = inv_x * (amx * u_ext[rx - 1:rx - 1 + hx, ry:ry + hy]
+                       + apx * u_ext[rx + 1:rx + 1 + hx, ry:ry + hy] + c0x * uc) \
+            + inv_y * (amy * u_ext[rx:rx + hx, ry - 1:ry - 1 + hy]
+                       + apy * u_ext[rx:rx + hx, ry + 1:ry + 1 + hy] + c0y * uc) \
+            + inv_z * (amz * roll(uc, 1, 2) + apz * roll(uc, -1, 2) + c0z * uc)
+        return uc + w * (b_ext - lap)
+
     def kernel(*refs):
         out_ref = refs[-1]
         if zero_init:
-            b_ref, blo2, blo1, bhi1, bhi2 = refs[:5]
-            b_t = b_ref[:]
-            b_ext2 = jnp.concatenate([blo2[:], blo1[:], b_t, bhi1[:], bhi2[:]], axis=0)
+            b_ext2 = assemble(*refs[:9])
             u_ext2 = w * b_ext2                       # u₀ = w·b (zero-start sweep)
-            b_ext = b_ext2[1:T + 3]
         else:
-            p_ref, b_ref, plo2, plo1, phi1, phi2, blo1, bhi1 = refs[:8]
-            b_t = b_ref[:]
-            u_ext2 = jnp.concatenate([plo2[:], plo1[:], p_ref[:], phi1[:], phi2[:]], axis=0)
-            b_ext = jnp.concatenate([blo1[:], b_t, bhi1[:]], axis=0)
-        R = T + 2
-        gx_e = (pl.program_id(0) * T - 1) + jax.lax.broadcasted_iota(jnp.int32, (R, 1, 1), 0)
-        amx, apx, c0x = prof(gx_e, X, *bc[0])
-        amy, apy, c0y = prof(jax.lax.broadcasted_iota(jnp.int32, (1, Y, 1), 1), Y, *bc[1])
-        amz, apz, c0z = prof(jax.lax.broadcasted_iota(jnp.int32, (1, 1, Z), 2), Z, *bc[2])
-        uc = u_ext2[1:T + 3]
-        lap = inv_x * (amx * u_ext2[0:T + 2] + apx * u_ext2[2:T + 4] + c0x * uc) \
-            + inv_y * (amy * roll(uc, 1, 1) + apy * roll(uc, -1, 1) + c0y * uc) \
-            + inv_z * (amz * roll(uc, 1, 2) + apz * roll(uc, -1, 2) + c0z * uc)
-        u1 = uc + w * (b_ext - lap)
-        u1c = u1[1:T + 1]
-        if isinstance(amx, jnp.ndarray):
-            amx, apx, c0x = amx[1:T + 1], apx[1:T + 1], c0x[1:T + 1]
-        lap2 = inv_x * (amx * u1[0:T] + apx * u1[2:T + 2] + c0x * u1c) \
-            + inv_y * (amy * roll(u1c, 1, 1) + apy * roll(u1c, -1, 1) + c0y * u1c) \
-            + inv_z * (amz * roll(u1c, 1, 2) + apz * roll(u1c, -1, 2) + c0z * u1c)
-        out_ref[:] = u1c + w * (b_t - lap2)
+            u_ext2 = assemble(*refs[:9])
+            b_ext2 = assemble(*refs[9:18])
+        # global coords of the extended region (x rows −2…TX+1, y cols −8…TY+7)
+        gx_e = (pl.program_id(0) * TX - 2) + jax.lax.broadcasted_iota(jnp.int32, (TX + 4, 1, 1), 0)
+        gy_e = (pl.program_id(1) * TY - 8) + jax.lax.broadcasted_iota(jnp.int32, (1, TY + 16, 1), 1)
+        if x_per:
+            gx_e = jax.lax.rem(gx_e + 2 * X, X)
+        if y_per:
+            gy_e = jax.lax.rem(gy_e + 2 * Y, Y)
+        px = prof(gx_e, X, *bc[0])
+        py = prof(gy_e, Y, *bc[1])
+        pz = prof(jax.lax.broadcasted_iota(jnp.int32, (1, 1, Z), 2), Z, *bc[2])
+
+        def crop(profs, rx, ry, hx, hy):
+            (amx, apx, c0x), (amy, apy, c0y), pzz = profs
+
+            def cx(a):
+                return a[rx:rx + hx] if isinstance(a, jnp.ndarray) else a
+
+            def cy(a):
+                return a[:, ry:ry + hy] if isinstance(a, jnp.ndarray) else a
+            return (cx(amx), cx(apx), cx(c0x)), (cy(amy), cy(apy), cy(c0y)), pzz
+
+        # sweep 1 on the (TX+2, TY+2) region anchored at ext (1, 7)
+        b_s1 = b_ext2[1:TX + 3, 7:TY + 9]
+        u1 = sweep(u_ext2, b_s1, crop((px, py, pz), 1, 7, TX + 2, TY + 2), 1, 7, (TX + 2, TY + 2))
+        # sweep 2 on the (TX, TY) tile, u1 is (TX+2, TY+2) with the tile at (1, 1)
+        b_t = b_ext2[2:TX + 2, 8:TY + 8]
+        out_ref[:] = sweep(u1, b_t, crop((px, py, pz), 2, 8, TX, TY), 1, 1, (TX, TY))
 
     kwargs = {'memory_space': pltpu.VMEM} if _TPU and not interpret else {}
-    tile_spec = pl.BlockSpec((T, Y, Z), lambda i: (i, 0, 0), **kwargs)
+    tile_spec = pl.BlockSpec((TX, TY, Z), lambda i, j: (i, j, 0), **kwargs)
 
-    def row_spec(offset):
-        if x_per:
-            return pl.BlockSpec((1, Y, Z), lambda i, o=offset: ((i * T + o) % X, 0, 0), **kwargs)
-        return pl.BlockSpec((1, Y, Z),
-                            lambda i, o=offset: (jnp.clip(i * T + o, 0, X - 1), 0, 0), **kwargs)
+    def wrap_x(e):  # element row → block index in 2-row units
+        return (e % X) // 2 if x_per else jnp.clip(e, 0, X - 2) // 2
 
-    halo = [row_spec(-2), row_spec(-1), row_spec(T), row_spec(T + 1)]
+    def wrap_y(e):  # element col → block index in 8-row units
+        return (e % Y) // 8 if y_per else jnp.clip(e, 0, Y - 8) // 8
+
+    xlo = pl.BlockSpec((2, TY, Z), lambda i, j: (wrap_x(i * TX - 2), j, 0), **kwargs)
+    xhi = pl.BlockSpec((2, TY, Z), lambda i, j: (wrap_x(i * TX + TX), j, 0), **kwargs)
+    ylo = pl.BlockSpec((TX, 8, Z), lambda i, j: (i, wrap_y(j * TY - 8), 0), **kwargs)
+    yhi = pl.BlockSpec((TX, 8, Z), lambda i, j: (i, wrap_y(j * TY + TY), 0), **kwargs)
+    c00 = pl.BlockSpec((2, 8, Z), lambda i, j: (wrap_x(i * TX - 2), wrap_y(j * TY - 8), 0), **kwargs)
+    c01 = pl.BlockSpec((2, 8, Z), lambda i, j: (wrap_x(i * TX - 2), wrap_y(j * TY + TY), 0), **kwargs)
+    c10 = pl.BlockSpec((2, 8, Z), lambda i, j: (wrap_x(i * TX + TX), wrap_y(j * TY - 8), 0), **kwargs)
+    c11 = pl.BlockSpec((2, 8, Z), lambda i, j: (wrap_x(i * TX + TX), wrap_y(j * TY + TY), 0), **kwargs)
+    group = [tile_spec, xlo, xhi, ylo, yhi, c00, c01, c10, c11]
     if zero_init:
-        inputs = [b, b, b, b, b]
-        in_specs = [tile_spec] + halo
+        inputs = [b] * 9
+        in_specs = group
     else:
-        inputs = [p, b, p, p, p, p, b, b]
-        in_specs = [tile_spec, tile_spec] + halo + [row_spec(-1), row_spec(T)]
+        inputs = [p] * 9 + [b] * 9
+        in_specs = group + group
+    cp = _compiler_params()
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -440,6 +555,7 @@ def _jacobi2_pallas_3d(p, b, inv_dx2, bc, w, zero_init, interpret=False):
         out_specs=tile_spec,
         out_shape=jax.ShapeDtypeStruct((X, Y, Z), jnp.float32),
         interpret=interpret,
+        **({'compiler_params': cp} if cp is not None and _TPU and not interpret else {}),
     )(*inputs)
 
 
@@ -474,17 +590,18 @@ def poisson_smooth(u: Optional[jnp.ndarray], b: jnp.ndarray,
             out = fn(*(a.reshape(spatial_shape) for a in flat))
         return out.reshape(b.shape)
 
+    sx, sy = b.shape[-3], b.shape[-2]
+    fused_ok = fused_ok and sx % 2 == 0 and _pick_tile_jacobi2(sx, sy, b.shape[-1], 2) is not None
     remaining = sweeps
     if zero_init:
-        if fused_ok and remaining >= 3 and _divisor_tile(b.shape[-3], b.shape[-1] * b.shape[-2], 7, 24):
+        if fused_ok and remaining >= 3:
             u = batched(lambda bb: _jacobi2_pallas_3d(None, bb, inv_dx2, bc, w, True,
                                                       interpret=interpret), b)
             remaining -= 3
         else:
             u = np.float32(w) * b if b.dtype == jnp.float32 else w * b
             remaining -= 1
-    can_pair = fuse_pairs and fused_ok and _divisor_tile(b.shape[-3], b.shape[-1] * b.shape[-2], 10, 28)
-    while remaining >= 2 and can_pair:
+    while remaining >= 2 and fuse_pairs and fused_ok:
         u = batched(lambda uu, bb: _jacobi2_pallas_3d(uu, bb, inv_dx2, bc, w, False,
                                                       interpret=interpret), u, b)
         remaining -= 2

@@ -117,3 +117,73 @@ def test_window_interp_2d_matches():
             w = (f[0] if cx else 1 - f[0]) * (f[1] if cy else 1 - f[1])
             expected += grid[ix, iy] * w
     assert np.allclose(np.asarray(out), expected, atol=2e-4)
+
+
+def test_poisson_apply_xy_tiled_matches_xla():
+    """Force TX<X and TY<Y so the tile-edge halo substitution (y-roll wrap rows
+    replaced by fetched halo columns) is exercised for every BC/mode/mask combo."""
+    from phiflow_tpu.ops import poisson as P
+    orig = P._pick_tile_xy
+    P._pick_tile_xy = lambda X, Y, Z, n, budget_bytes=0: (4, 8)
+    try:
+        key = jax.random.PRNGKey(1)
+        X, Y, Z = 16, 24, 128
+        p = jax.random.normal(key, (X, Y, Z), jnp.float32)
+        b = jax.random.normal(jax.random.PRNGKey(2), (X, Y, Z), jnp.float32)
+        act = (jax.random.uniform(jax.random.PRNGKey(3), (X, Y, Z)) > 0.3).astype(jnp.float32)
+        bcs_list = [
+            (('neumann', 'neumann'),) * 3,
+            (('periodic', 'periodic'),) * 3,
+            (('neumann', 'ghost0'), ('periodic', 'periodic'), ('ghost0', 'neumann')),
+        ]
+        inv = (1.0, 0.7, 1.3)
+        for bcs in bcs_list:
+            for mode in ('matvec', 'residual', 'jacobi'):
+                for use_act in (False, True):
+                    ref = P._apply_xla(p, inv, bcs, None, None, act if use_act else None, b, mode, 0.15)
+                    got = P._apply_pallas_3d(p, inv, bcs, None, None, act if use_act else None,
+                                             b if mode != 'matvec' else None, mode, 0.15, interpret=True)
+                    assert float(jnp.max(jnp.abs(got - ref))) < 2e-5, (bcs, mode, use_act)
+            masks = []
+            for d in range(3):
+                shape = [X, Y, Z]
+                if bcs[d] != ('periodic', 'periodic'):
+                    shape[d] += 1
+                masks.append((jax.random.uniform(jax.random.PRNGKey(10 + d), tuple(shape)) > 0.2)
+                             .astype(jnp.float32))
+            mA, c0 = P.stage_masks(masks, bcs, inv)
+            for mode in ('matvec', 'jacobi'):
+                ref = P._apply_xla(p, inv, bcs, mA, c0, act, b, mode, 0.15)
+                got = P._apply_pallas_3d(p, inv, bcs, mA, c0, act, b if mode != 'matvec' else None,
+                                         mode, 0.15, interpret=True)
+                assert float(jnp.max(jnp.abs(got - ref))) < 2e-5, ('masked', bcs, mode)
+    finally:
+        P._pick_tile_xy = orig
+
+
+def test_jacobi2_xy_tiled_matches_sweeps():
+    """The fused two-sweep (and zero-init three-sweep) Jacobi kernel with
+    forced 2-D tiling must equal looped single jacobi applications exactly."""
+    from phiflow_tpu.ops import poisson as P
+    orig = P._pick_tile_jacobi2
+    P._pick_tile_jacobi2 = lambda X, Y, Z, n, budget_bytes=0: (4, 8)
+    try:
+        X, Y, Z = 16, 24, 128
+        b = jax.random.normal(jax.random.PRNGKey(2), (X, Y, Z), jnp.float32)
+        p = jax.random.normal(jax.random.PRNGKey(1), (X, Y, Z), jnp.float32)
+        inv = (1.0, 0.7, 1.3)
+        w = 0.9 / (2.0 * sum(inv))
+        for bcs in [(('neumann', 'neumann'),) * 3, (('periodic', 'periodic'),) * 3,
+                    (('neumann', 'ghost0'), ('periodic', 'periodic'), ('ghost0', 'neumann'))]:
+            got = P._jacobi2_pallas_3d(None, b, inv, bcs, w, True, interpret=True)
+            ref = w * b
+            for _ in range(2):
+                ref = P._apply_xla(ref, inv, bcs, None, None, None, b, 'jacobi', w)
+            assert float(jnp.max(jnp.abs(got - ref))) < 5e-6, ('zero-init', bcs)
+            got = P._jacobi2_pallas_3d(p, b, inv, bcs, w, False, interpret=True)
+            ref = p
+            for _ in range(2):
+                ref = P._apply_xla(ref, inv, bcs, None, None, None, b, 'jacobi', w)
+            assert float(jnp.max(jnp.abs(got - ref))) < 5e-6, ('pair', bcs)
+    finally:
+        P._pick_tile_jacobi2 = orig
