@@ -104,7 +104,8 @@ def _stage_circular(padded: jnp.ndarray, C: int, aligns, lead_axes: int) -> jnp.
     return slab
 
 
-_Y_OFF = 8  # y-halo offset in the staged slab (8-aligned, ≥ C for K ≤ 7)
+_FORCE_TILES = None  # (TILE, YT) override for tools/bench_window.py
+_Y_OFF = 8  # y-halo offset in the staged slab (8-aligned, >= C for K <= 7)
 
 
 def window_interp_3d(padded: jnp.ndarray, disp3, K: int,
@@ -176,6 +177,8 @@ def window_interp_3d(padded: jnp.ndarray, disp3, K: int,
             c = traffic(t, yt)
             if best_cost is None or c < best_cost:
                 best_cost, TILE, YT = c, t, yt
+    if _FORCE_TILES is not None:  # benchmarking hook (tools/bench_window.py)
+        TILE, YT = _FORCE_TILES
     grid = (X // TILE, Y // YT)
     big = np.float32(3.4e38)
 

@@ -51,7 +51,13 @@ _PAGE = """<!DOCTYPE html>
 <img id="plot" src="/plot?field={first}">
 <h3>Scalars</h3>
 <img id="curves" src="/curves">
-<p><a href="/board">&Phi; Board (benchmark / profiler / system)</a></p>
+<p>
+ <a href="/side-by-side">Side-by-Side</a> &middot;
+ <a href="/quad">Quad</a> &middot;
+ <a href="/info">Info</a> &middot;
+ <a href="/log">Log</a> &middot;
+ <a href="/board">&Phi; Board (benchmark / profiler / system)</a>
+</p>
 <script>
  const fieldSel = document.getElementById('field');
  function refresh() {{
@@ -123,6 +129,85 @@ _BOARD_PAGE = """<!DOCTYPE html>
    document.getElementById('sysinfo').textContent = JSON.stringify(s, null, 1);
  }}
  sysinfo();
+</script>
+</body></html>
+"""
+
+
+_MULTI_PAGE = """<!DOCTYPE html>
+<html><head><title>{title} — {label}</title>
+<style>
+ body {{ font-family: sans-serif; margin: 1.5em; background: #fafafa; }}
+ button {{ margin: 0 .2em; padding: .4em 1em; }}
+ img {{ border: 1px solid #ccc; background: white; width: 100%; }}
+ .view {{ display: inline-block; width: {width}; vertical-align: top; padding: .3em; box-sizing: border-box; }}
+ #status {{ color: #666; margin-left: 1em; }}
+</style></head>
+<body>
+<h2>{title} — {label}</h2>
+<p><a href="/">&larr; home</a></p>
+<div>
+ <button onclick="api('play')">&#9654; Play</button>
+ <button onclick="api('pause')">&#10074;&#10074; Pause</button>
+ <button onclick="api('step')">Step</button>
+ <span id="status"></span>
+</div>
+<div id="views">{views}</div>
+<script>
+ function refresh() {{
+   document.querySelectorAll('.view').forEach((v, i) => {{
+     const f = v.querySelector('select').value;
+     v.querySelector('img').src = '/plot?field=' + f + '&t=' + Date.now();
+   }});
+ }}
+ async function api(cmd) {{ await fetch('/api/' + cmd, {{method: 'POST'}}); poll(); }}
+ async function poll() {{
+   const r = await fetch('/api/status'); const s = await r.json();
+   document.getElementById('status').textContent = 'step ' + s.steps;
+   if (s.playing) refresh();
+ }}
+ setInterval(poll, 1000);
+</script>
+</body></html>
+"""
+
+_LOG_PAGE = """<!DOCTYPE html>
+<html><head><title>{title} — Log</title>
+<style> body {{ font-family: sans-serif; margin: 1.5em; background: #fafafa; }}
+ pre {{ background: #f0f0f0; padding: .8em; white-space: pre-wrap; }}</style></head>
+<body>
+<h2>{title} — Log</h2>
+<p><a href="/">&larr; home</a> <button onclick="load()">Refresh</button></p>
+<pre id="log">loading&hellip;</pre>
+<script>
+ async function load() {{
+   const r = await fetch('/api/log'); const s = await r.json();
+   document.getElementById('log').textContent = s.text;
+ }}
+ load();
+</script>
+</body></html>
+"""
+
+_INFO_PAGE = """<!DOCTYPE html>
+<html><head><title>{title} — Info</title>
+<style> body {{ font-family: sans-serif; margin: 1.5em; background: #fafafa; }}
+ table {{ border-collapse: collapse; }} td, th {{ border: 1px solid #ccc; padding: .3em .8em; text-align: left; }}
+ blockquote {{ background: #f0f0f0; padding: .6em 1em; }}</style></head>
+<body>
+<h2>{title}</h2>
+<p><a href="/">&larr; home</a></p>
+<blockquote>{description}</blockquote>
+<table>{rows}</table>
+<p id="clock"></p>
+<script>
+ const started = {start_time};
+ function tick() {{
+   const el = (Date.now()/1000 - started) | 0;
+   document.getElementById('clock').textContent =
+     'Running for ' + ((el/60)|0) + ' minutes and ' + (el%60) + ' seconds';
+ }}
+ tick(); setInterval(tick, 1000);
 </script>
 </body></html>
 """
@@ -248,7 +333,60 @@ class WebGui(Gui):
                     a()
                     return {'ok': True}
             return {'ok': False, 'error': f'no action {name}'}
+        if cmd == 'log':
+            # reference: phi/vis/_dash/log.py:20-31 — dump the scene's info.log
+            import os
+            log_file = getattr(self.app, 'log_file', None)
+            if log_file is None and getattr(self.app, 'scene', None) is not None:
+                log_file = os.path.join(self.app.scene.path, 'info.log')
+            if log_file and os.path.isfile(log_file):
+                with open(log_file) as stream:
+                    return {'text': stream.read()}
+            return {'text': 'Log not available. Pass scene=True or an existing Scene '
+                            'to view() to enable logging.'}
         return {'ok': False, 'error': f'unknown command {cmd}'}
+
+    # ----- multi-view / info pages (reference: dash_gui.py:27-42 page list) -----
+
+    def _multi_page(self, n: int, label: str) -> str:
+        fields = list(self.app.field_names)
+        views = []
+        for i in range(n):
+            f0 = fields[i % len(fields)] if fields else ''
+            options = ''.join(
+                f'<option value="{f}"{" selected" if f == f0 else ""}>{display_name(f)}</option>'
+                for f in fields)
+            views.append(f'<div class="view"><select onchange="refresh()">{options}</select>'
+                         f'<img src="/plot?field={f0}"></div>')
+        return _MULTI_PAGE.format(title=self.app.name, label=label, width='49%',
+                                  views=''.join(views))
+
+    def _info_page(self) -> str:
+        import html as _html
+        import os
+        import socket
+        import sys
+        import jax as _jax
+        from .. import __version__ as _version
+        scene = getattr(self.app, 'scene', None)
+        rows = [
+            ('Host', socket.gethostname()),
+            ('Script', os.path.abspath(sys.argv[0]) if sys.argv else '—'),
+            ('Data path', scene.path if scene is not None else '—'),
+            ('Framework', f'phiflow-tpu {_version}'),
+            ('Backend', _jax.default_backend()),
+            ('Devices', ', '.join(str(d) for d in _jax.devices())),
+            ('Fields', ', '.join(self.app.field_names)),
+            ('Controls', ', '.join(c.name for c in self.app.controls) or '—'),
+            ('Actions', ', '.join(a.name for a in self.app.actions) or '—'),
+            ('Steps', str(self.app.steps)),
+        ]
+        row_html = ''.join(f'<tr><th>{k}</th><td>{_html.escape(str(v))}</td></tr>' for k, v in rows)
+        import time as _time
+        start = getattr(self.app, 'start_time', None) or _time.time()
+        return _INFO_PAGE.format(title=self.app.name,
+                                 description=_html.escape(self.app.description or 'No description.'),
+                                 rows=row_html, start_time=start)
 
     # ----- server -----
 
@@ -276,6 +414,14 @@ class WebGui(Gui):
                         self._send(page.encode(), 'text/html')
                     elif url.path == '/board':
                         self._send(_BOARD_PAGE.format(title=gui.app.name).encode(), 'text/html')
+                    elif url.path == '/side-by-side':
+                        self._send(gui._multi_page(2, 'Side-by-Side').encode(), 'text/html')
+                    elif url.path == '/quad':
+                        self._send(gui._multi_page(4, 'Quad').encode(), 'text/html')
+                    elif url.path == '/info':
+                        self._send(gui._info_page().encode(), 'text/html')
+                    elif url.path == '/log':
+                        self._send(_LOG_PAGE.format(title=gui.app.name).encode(), 'text/html')
                     elif url.path == '/plot':
                         name = query.get('field', [gui.app.field_names[0]])[0]
                         self._send(gui._render_field_png(name), 'image/png')

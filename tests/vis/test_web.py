@@ -91,3 +91,48 @@ def test_board_page_and_endpoints():
         assert bench_result['steps'] == 3 and bench_result['ms_per_step'] >= 0
     finally:
         gui.close()
+
+
+def test_multiview_info_log_pages():
+    """Side-by-Side / Quad / Info / Log pages (reference page list:
+    phi/vis/_dash/dash_gui.py:27-42, info.py, log.py)."""
+    gui = WebGui(port=0)
+    gui.setup(_Model())
+    gui.show(block=False)
+    base = f'http://127.0.0.1:{gui.port}'
+    try:
+        sbs, ctype = _get(base + '/side-by-side')
+        assert 'text/html' in ctype and sbs.count(b'class="view"') == 2
+        quad, _ = _get(base + '/quad')
+        assert quad.count(b'class="view"') == 4
+        info, _ = _get(base + '/info')
+        assert b'TestSim' in info and b'Backend' in info and b'Fields' in info
+        log_page, _ = _get(base + '/log')
+        assert b'Log' in log_page
+        log_json, _ = _get(base + '/api/log')
+        assert 'text' in json.loads(log_json)  # no scene -> explanatory message
+    finally:
+        gui.close()
+
+
+def test_log_page_with_scene(tmp_path):
+    """With a Scene attached, /api/log serves the scene's info.log contents."""
+    from phiflow_tpu.field import Scene
+    from phiflow_tpu.vis._log import SceneLog
+
+    class SceneModel(_Model):
+        def __init__(self, scene):
+            super().__init__()
+            self.scene = scene
+
+    scene = Scene.create(str(tmp_path))
+    log = SceneLog(scene)
+    log.log('hello from the simulation')
+    gui = WebGui(port=0)
+    gui.setup(SceneModel(scene))
+    gui.show(block=False)
+    try:
+        text = json.loads(_get(f'http://127.0.0.1:{gui.port}/api/log')[0])['text']
+        assert 'hello from the simulation' in text
+    finally:
+        gui.close()
