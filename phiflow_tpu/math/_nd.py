@@ -390,7 +390,7 @@ def masked_fill(values: Tensor, valid: Tensor, distance=1) -> Tuple[Tensor, Tens
 
 def shift_window_interp(grid: Tensor, displacement_cells, extrap: Extrapolation,
                         max_cells: int = 2, compute_extrema: bool = False,
-                        negate: bool = False):
+                        negate: bool = False, disp_scale=None):
     """Linear interpolation of `grid` at its own sample lattice displaced by
     `displacement_cells` (in units of cells, channel 'vector' labeled by dims).
 
@@ -426,22 +426,34 @@ def shift_window_interp(grid: Tensor, displacement_cells, extrap: Extrapolation,
     K = max_cells
     W = 2 * K + 1  # shifts per axis: s ∈ [-K, K] (symmetric window)
     big = jnp.asarray(3.4e38, jnp.float32)
-    # pad the grid once on all interpolated axes
-    padded_t = extrap.pad(grid, {n: (K, K) for n in dims})
-    if isinstance(padded_t, TensorStack):
-        padded_t = padded_t._contiguous()
-    padded = padded_t.native(out_order)
+    # Constant extrapolation (velocity's ZERO walls): the Pallas kernel can
+    # build the halo slab with ONE jnp.pad of the raw grid — skip the generic
+    # pad→concat→pad staging chain (2-3 HBM passes per call)
+    const_val = None
+    if isinstance(extrap, ConstantExtrapolation):
+        try:
+            const_val = float(extrap.value)
+        except Exception:
+            const_val = None  # tensor-valued / traced constant → generic path
+
+    def make_padded():
+        padded_t = extrap.pad(grid, {n: (K, K) for n in dims})
+        if isinstance(padded_t, TensorStack):
+            padded_t = padded_t._contiguous()
+        return padded_t.native(out_order)
+
+    grid_native = grid.native(out_order)
     # per-axis displacement aligned to the output layout — clamping to ±K (and
     # the optional negation) happens inside the Pallas kernel (VMEM-resident) /
     # the fallback body, NOT here: a jnp.clip per axis costs d full HBM passes
-    disps = [dd.astype(padded.dtype) for dd in raw_disps]
+    disps = [dd.astype(grid_native.dtype) for dd in raw_disps]
     axis_pos = [out_shape.index(n) for n in dims]
     out_sizes = tuple(out_shape.sizes)
     rank = len(out_sizes)
     # --- Pallas fast path: tile+halo loaded into VMEM once, all windows on-chip ---
     from ..ops.interp import pallas_available, window_interp_3d, window_interp_2d, supported_3d, supported_2d
     plain = (rank == d and tuple(out_shape.names) == tuple(dims)
-             and padded.dtype == jnp.float32)
+             and grid_native.dtype == jnp.float32)
     if plain and d == 3:
         plain = supported_3d(*out_sizes, K)
     elif plain and d == 2:
@@ -451,28 +463,44 @@ def shift_window_interp(grid: Tensor, displacement_cells, extrap: Extrapolation,
     if plain and pallas_available():
         disp_list = tuple(dd.astype(jnp.float32) for dd in disps)
         fn = window_interp_3d if d == 3 else window_interp_2d
-        padded32 = padded.astype(jnp.float32)
+        # constant halos → the kernel builds the slab from the raw grid in one
+        # pad (const_pad); otherwise hand it the generically padded array
+        use_const = const_val is not None and d == 3
+        if use_const:
+            padded32 = grid_native.astype(jnp.float32)
+            kw = {'const_pad': const_val}
+        else:
+            padded32 = make_padded().astype(jnp.float32)
+            kw = {}
+        if disp_scale is not None:
+            kw['disp_scale'] = tuple(disp_scale)
         if K > 1 and d == 3:
             # Adaptive window radius: the K=1 kernel costs ~3× less per cell
             # ((2K+2)³ window terms). When every displacement fits its window
             # [−1, 2] the small kernel is EXACT, so select at runtime — typical
             # CFL<1 flows never pay for the wide window.
-            lo = _functools.reduce(jnp.minimum, [jnp.min(dd) for dd in disp_list])
-            hi = _functools.reduce(jnp.maximum, [jnp.max(dd) for dd in disp_list])
+            scales = disp_scale or (1.0,) * d
+            bounds = []
+            for s, dd in zip(scales, disp_list):
+                mn, mx = jnp.min(dd), jnp.max(dd)
+                bounds.append((jnp.minimum(s * mn, s * mx), jnp.maximum(s * mn, s * mx)))
+            lo = _functools.reduce(jnp.minimum, [bb[0] for bb in bounds])
+            hi = _functools.reduce(jnp.maximum, [bb[1] for bb in bounds])
             k1_ok = jnp.logical_and(lo >= -1.0, hi <= 1.0)
-            crop = tuple(slice(K - 1, -(K - 1)) for _ in range(d))
+            crop = tuple(slice(K - 1, -(K - 1)) for _ in range(d)) if not use_const else ()
 
             def k1(args):
                 pad_, *disp_ = args
-                return fn(pad_[crop], disp_, 1, compute_extrema=compute_extrema, negate=negate)
+                return fn(pad_[crop] if crop else pad_, disp_, 1,
+                          compute_extrema=compute_extrema, negate=negate, **kw)
 
             def kK(args):
                 pad_, *disp_ = args
-                return fn(pad_, disp_, K, compute_extrema=compute_extrema, negate=negate)
+                return fn(pad_, disp_, K, compute_extrema=compute_extrema, negate=negate, **kw)
 
             result = jax.lax.cond(k1_ok, k1, kK, (padded32, *disp_list))
         else:
-            result = fn(padded32, disp_list, K, compute_extrema=compute_extrema, negate=negate)
+            result = fn(padded32, disp_list, K, compute_extrema=compute_extrema, negate=negate, **kw)
         if compute_extrema:
             return (Tensor(result[0], out_shape), Tensor(result[1], out_shape), Tensor(result[2], out_shape))
         return Tensor(result, out_shape)
@@ -480,6 +508,7 @@ def shift_window_interp(grid: Tensor, displacement_cells, extrap: Extrapolation,
     # + fused FMA per iteration. Correct for spatially-varying displacement
     # (weights evaluated at the OUTPUT lattice) with an O(1)-size HLO —
     # python-unrolled windows crash remote compilers at 256³+.
+    padded = make_padded()
     zero = jnp.zeros(out_sizes, padded.dtype)
     init = (zero, jnp.full(out_sizes, big, padded.dtype), jnp.full(out_sizes, -big, padded.dtype)) \
         if compute_extrema else zero
@@ -493,7 +522,8 @@ def shift_window_interp(grid: Tensor, displacement_cells, extrap: Extrapolation,
             s = kk % W - K
             kk = kk // W
             starts[axis_pos[i]] = K + s
-            di = jnp.clip(-disps[i] if negate else disps[i], -float(K), float(K))  # fused into the loop body
+            sc_i = (disp_scale or (1.0,) * d)[i] * (-1.0 if negate else 1.0)
+            di = jnp.clip(sc_i * disps[i], -float(K), float(K))  # fused into the loop body
             ai = jnp.abs(di - s)
             wi = jnp.maximum(0.0, 1.0 - ai)  # hat function = exact linear-interp weight
             w = wi if w is None else w * wi

@@ -110,7 +110,7 @@ _Y_OFF = 8  # y-halo offset in the staged slab (8-aligned, >= C for K <= 7)
 
 def window_interp_3d(padded: jnp.ndarray, disp3, K: int,
                      compute_extrema: bool = False, negate: bool = False,
-                     interpret: bool = False):
+                     const_pad=None, disp_scale=None, interpret: bool = False):
     """See module docstring. padded: (X+2C, Y+2C, Z+2C); disp3: (3, X, Y, Z)
     stacked OR a sequence of three (X, Y, Z) arrays — the sequence form feeds
     each axis as its own pallas operand, skipping the jnp.stack HBM pass.
@@ -130,22 +130,34 @@ def window_interp_3d(padded: jnp.ndarray, disp3, K: int,
     X, Y0, Z0 = dxyz[0].shape
     Y = ((Y0 + 7) // 8) * 8
     Z = ((Z0 + 127) // 128) * 128
+    if const_pad is not None and (Y, Z) != (Y0, Z0):
+        # alignment zero-pad would sit where the constant halo belongs —
+        # pre-pad generically instead (rare: unaligned grids)
+        padded = jnp.pad(padded, C, constant_values=const_pad)
+        const_pad = None
     # displacement clamping to ±K happens IN-KERNEL on the VMEM-resident aux
     # planes — a jnp.clip here would cost a full extra HBM pass over (3,X,Y,Z)
     if (Y, Z) != (Y0, Z0):
         dxyz = [jnp.pad(d, ((0, 0), (0, Y - Y0), (0, Z - Z0))) for d in dxyz]
         padded = jnp.pad(padded, ((0, 0), (0, 0 if Y == Y0 else Y - Y0), (0, 0 if Z == Z0 else Z - Z0)))
-    # stage: z circular (single concat = pad-to-aligned + rotate by −C fused),
-    # y placed at fixed offset 8 via one asymmetric pad — 2 HBM passes total
-    z_total = ((Z + 2 * C + 127) // 128) * 128
-    gap = z_total - (padded.shape[2] - C)  # zero gap between right and left halo
-    zslab = jnp.concatenate([
-        padded[:, :, C:],
-        jnp.zeros(padded.shape[:2] + (gap - C,), padded.dtype),
-        padded[:, :, :C]], axis=2)
     Ys = Y + 2 * _Y_OFF
+    z_total = ((Z + 2 * C + 127) // 128) * 128
     Zs = z_total
-    slab_full = jnp.pad(zslab, ((0, 0), (_Y_OFF - C, Ys - (padded.shape[1]) - (_Y_OFF - C)), (0, 0)))
+    if const_pad is not None:
+        # Constant halos (e.g. zero-velocity walls): `padded` is the RAW grid;
+        # the whole slab — x halos, y offset region, z circular halos and gap —
+        # is constant, so ONE jnp.pad builds it (vs pad→concat→pad, 3 passes)
+        slab_full = jnp.pad(padded, ((C, C), (_Y_OFF, Ys - Y - _Y_OFF), (0, z_total - Z)),
+                            constant_values=jnp.float32(const_pad))
+    else:
+        # stage: z circular (single concat = pad-to-aligned + rotate by −C
+        # fused), y placed at fixed offset 8 via one asymmetric pad
+        gap = z_total - (padded.shape[2] - C)  # zero gap between right and left halo
+        zslab = jnp.concatenate([
+            padded[:, :, C:],
+            jnp.zeros(padded.shape[:2] + (gap - C,), padded.dtype),
+            padded[:, :, :C]], axis=2)
+        slab_full = jnp.pad(zslab, ((0, 0), (_Y_OFF - C, Ys - (padded.shape[1]) - (_Y_OFF - C)), (0, 0)))
     n_out = 3 if compute_extrema else 1
     # --- pick (TILE, YT) minimizing estimated on-chip traffic within VMEM ---
     # Halo overhead multiplies every roll by ((T+2C)(YT+2·OFF))/(T·YT): tiny
@@ -188,9 +200,11 @@ def window_interp_3d(padded: jnp.ndarray, disp3, K: int,
     def compute(slab, disp_refs, out_refs):
         kf = float(K)
         sgn = -1.0 if negate else 1.0
-        dx_ = jnp.clip(sgn * disp_refs[0][:], -kf, kf)
-        dy_ = jnp.clip(sgn * disp_refs[1][:], -kf, kf)
-        dz_ = jnp.clip(sgn * disp_refs[2][:], -kf, kf)
+        sc = disp_scale or (1.0, 1.0, 1.0)  # dt/dx folded in-register: identity
+        # velocity components can then alias their arrays with NO scaling pass
+        dx_ = jnp.clip((sgn * float(sc[0])) * disp_refs[0][:], -kf, kf)
+        dy_ = jnp.clip((sgn * float(sc[1])) * disp_refs[1][:], -kf, kf)
+        dz_ = jnp.clip((sgn * float(sc[2])) * disp_refs[2][:], -kf, kf)
         acc0 = jnp.zeros((TILE, YT, Z), jnp.float32)
         lo0 = jnp.full((TILE, YT, Z), big, jnp.float32)
         up0 = jnp.full((TILE, YT, Z), -big, jnp.float32)
@@ -308,7 +322,7 @@ def window_interp_3d(padded: jnp.ndarray, disp3, K: int,
 
 def window_interp_2d(padded: jnp.ndarray, disp2, K: int,
                      compute_extrema: bool = False, negate: bool = False,
-                     interpret: bool = False):
+                     disp_scale=None, interpret: bool = False):
     """2D variant: both axes shifted via roll (x = sublane @8, y = lane @128).
     disp2: (2, X, Y) stacked or a sequence of two (X, Y) arrays."""
     C = K
@@ -330,8 +344,9 @@ def window_interp_2d(padded: jnp.ndarray, disp2, K: int,
         s_full = slab_ref[:]
         kf = float(K)
         sgn = -1.0 if negate else 1.0
-        dx_ = jnp.clip(sgn * dx_ref[:], -kf, kf)  # in-kernel clamp (no HBM pre-pass)
-        dy_ = jnp.clip(sgn * dy_ref[:], -kf, kf)
+        sc = disp_scale or (1.0, 1.0)
+        dx_ = jnp.clip((sgn * float(sc[0])) * dx_ref[:], -kf, kf)  # in-kernel clamp + dt/dx scale
+        dy_ = jnp.clip((sgn * float(sc[1])) * dy_ref[:], -kf, kf)
         acc0 = jnp.zeros((X, Y), jnp.float32)
         lo0 = jnp.full((X, Y), big, jnp.float32)
         up0 = jnp.full((X, Y), -big, jnp.float32)

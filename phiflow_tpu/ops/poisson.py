@@ -395,15 +395,15 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
 # fused two-sweep Jacobi (unmasked) — the V-cycle smoothing hot loop
 # ---------------------------------------------------------------------------
 
-def _pick_tile_jacobi2(X, Y, Z, n_arrays, budget_bytes=22 * 1024 * 1024):
-    """(TX, TY) for the fused-pair kernel: TX even (x-halo blocks are 2 rows),
-    TY multiple of 8 (y halos arrive as 8-row groups). Returns None if nothing
-    fits — caller falls back to single sweeps."""
+def _pick_tile_jacobi2(X, Y, Z, n_arrays, hx=2, budget_bytes=22 * 1024 * 1024):
+    """(TX, TY) for the fused-sweeps kernel: TX a multiple of the x-halo block
+    height ``hx``, TY a multiple of 8 (y halos arrive as 8-row groups). Returns
+    None if nothing fits — caller falls back to single sweeps."""
     best = None
     best_cost = None
-    for tx in [t for t in range(2, X + 1, 2) if X % t == 0]:
+    for tx in [t for t in range(hx, X + 1, hx) if X % t == 0]:
         for ty in [t for t in range(8, Y + 1, 8) if Y % t == 0]:
-            ext = (tx + 4) * (ty + 16) * Z
+            ext = (tx + 2 * hx) * (ty + 16) * Z
             blk = tx * ty * Z
             elems = n_arrays * ext + 6 * blk + 2 * 2 * blk  # ext arrays + sweep temps + io
             if elems * 4 > budget_bytes:
@@ -414,29 +414,34 @@ def _pick_tile_jacobi2(X, Y, Z, n_arrays, budget_bytes=22 * 1024 * 1024):
     return best
 
 
-def _jacobi2_pallas_3d(p, b, inv_dx2, bc, w, zero_init, interpret=False):
-    """TWO fused damped-Jacobi sweeps (three with ``zero_init``) in ONE HBM pass.
+def _jacobi2_pallas_3d(p, b, inv_dx2, bc, w, zero_init, sweeps: int = 2, interpret=False):
+    """``sweeps`` (2 or 3) fused damped-Jacobi sweeps in ONE HBM pass (with
+    ``zero_init`` the implicit u₀ = w·b sweep makes it one more).
 
     2-D (x, y) tile grid. Each needed array is assembled in VMEM as a halo-
-    extended (TX+4, TY+16, Z) block from 9 BlockSpec pieces of the SAME HBM
-    array: the tile, two 2-row x-halo blocks, two 8-row y-halo groups, and four
-    (2, 8) corner blocks (Mosaic requires sublane blocks divisible by 8, hence
-    the 8-wide y groups; columns j·TY−8…j·TY−1 land at local 0…7). x/y neighbor
-    shifts are then plain SLICES of the extended block — no rolls, no wrap —
-    and z shifts stay in-register rolls whose wrap-around is annihilated by the
-    zero boundary coefficients (exact for periodic). Sweep 1 runs on the
-    (TX+2, TY+2) extended region; sweep 2 consumes its in-VMEM halo. With
-    ``zero_init`` the initial iterate u₀ = w·b is formed in-register, so
-    pre-smoothing with ν=3 costs a single read of b. Values fetched across
-    clamped domain edges are garbage with ZERO coefficient — they never enter.
-    Unmasked operator only (the MG preconditioner's case).
+    extended (TX+2·hx, TY+16, Z) block from 9 BlockSpec pieces of the SAME HBM
+    array: the tile, two hx-row x-halo blocks (hx = 2 for a pair, 4 for a
+    triple — the block height must divide TX), two 8-row y-halo groups, and
+    four (hx, 8) corner blocks (Mosaic requires sublane blocks divisible by 8,
+    hence the 8-wide y groups; columns j·TY−8…j·TY−1 land at local 0…7). x/y
+    neighbor shifts are then plain SLICES of the extended block — no rolls, no
+    wrap — and z shifts stay in-register rolls whose wrap-around is annihilated
+    by the zero boundary coefficients (exact for periodic). Sweep k runs on the
+    region extended by ±(sweeps−k); each later sweep consumes the previous
+    sweep's in-VMEM halo. With ``zero_init`` the initial iterate u₀ = w·b is
+    formed in-register, so pre-smoothing with ν=3 costs a single read of b.
+    Values fetched across clamped domain edges are garbage with ZERO
+    coefficient — they never enter. Unmasked operator only (the MG
+    preconditioner's case).
 
     Returns None if no tile fits VMEM (caller falls back).
     """
     X, Y, Z = b.shape
-    if Y % 8 or X % 2:
+    assert sweeps in (2, 3)
+    hx = 2 if sweeps == 2 else 4
+    if Y % 8 or X % hx:
         return None
-    picked = _pick_tile_jacobi2(X, Y, Z, 1 if zero_init else 2)
+    picked = _pick_tile_jacobi2(X, Y, Z, 1 if zero_init else 2, hx)
     if picked is None:
         return None
     TX, TY = picked
@@ -468,10 +473,10 @@ def _jacobi2_pallas_3d(p, b, inv_dx2, bc, w, zero_init, interpret=False):
         return am, ap, c0d
 
     def assemble(core, xlo, xhi, ylo, yhi, c00, c01, c10, c11):
-        """(TX+4, TY+16, Z) halo-extended block from the 9 pieces."""
+        """(TX+2·hx, TY+16, Z) halo-extended block from the 9 pieces."""
         mid = jnp.concatenate([ylo[:], core[:], yhi[:]], axis=1)           # (TX, TY+16, Z)
-        top = jnp.concatenate([c00[:], xlo[:], c01[:]], axis=1)            # (2, TY+16, Z)
-        bot = jnp.concatenate([c10[:], xhi[:], c11[:]], axis=1)            # (2, TY+16, Z)
+        top = jnp.concatenate([c00[:], xlo[:], c01[:]], axis=1)            # (hx, TY+16, Z)
+        bot = jnp.concatenate([c10[:], xhi[:], c11[:]], axis=1)            # (hx, TY+16, Z)
         return jnp.concatenate([top, mid, bot], axis=0)
 
     def sweep(u_ext, b_ext, profs, rx, ry, h):
@@ -495,51 +500,59 @@ def _jacobi2_pallas_3d(p, b, inv_dx2, bc, w, zero_init, interpret=False):
         else:
             u_ext2 = assemble(*refs[:9])
             b_ext2 = assemble(*refs[9:18])
-        # global coords of the extended region (x rows −2…TX+1, y cols −8…TY+7)
-        gx_e = (pl.program_id(0) * TX - 2) + jax.lax.broadcasted_iota(jnp.int32, (TX + 4, 1, 1), 0)
+        # global coords of the extended region (x rows −hx…TX+hx−1, y −8…TY+7)
+        gx_e = (pl.program_id(0) * TX - hx) + jax.lax.broadcasted_iota(jnp.int32, (TX + 2 * hx, 1, 1), 0)
         gy_e = (pl.program_id(1) * TY - 8) + jax.lax.broadcasted_iota(jnp.int32, (1, TY + 16, 1), 1)
         if x_per:
-            gx_e = jax.lax.rem(gx_e + 2 * X, X)
+            gx_e = jax.lax.rem(gx_e + jnp.int32(2 * X), jnp.int32(X))
         if y_per:
-            gy_e = jax.lax.rem(gy_e + 2 * Y, Y)
+            gy_e = jax.lax.rem(gy_e + jnp.int32(2 * Y), jnp.int32(Y))
         px = prof(gx_e, X, *bc[0])
         py = prof(gy_e, Y, *bc[1])
         pz = prof(jax.lax.broadcasted_iota(jnp.int32, (1, 1, Z), 2), Z, *bc[2])
 
-        def crop(profs, rx, ry, hx, hy):
+        def crop(profs, rx, ry, sx, sy):
             (amx, apx, c0x), (amy, apy, c0y), pzz = profs
 
             def cx(a):
-                return a[rx:rx + hx] if isinstance(a, jnp.ndarray) else a
+                return a[rx:rx + sx] if isinstance(a, jnp.ndarray) else a
 
             def cy(a):
-                return a[:, ry:ry + hy] if isinstance(a, jnp.ndarray) else a
+                return a[:, ry:ry + sy] if isinstance(a, jnp.ndarray) else a
             return (cx(amx), cx(apx), cx(c0x)), (cy(amy), cy(apy), cy(c0y)), pzz
 
-        # sweep 1 on the (TX+2, TY+2) region anchored at ext (1, 7)
-        b_s1 = b_ext2[1:TX + 3, 7:TY + 9]
-        u1 = sweep(u_ext2, b_s1, crop((px, py, pz), 1, 7, TX + 2, TY + 2), 1, 7, (TX + 2, TY + 2))
-        # sweep 2 on the (TX, TY) tile, u1 is (TX+2, TY+2) with the tile at (1, 1)
-        b_t = b_ext2[2:TX + 2, 8:TY + 8]
-        out_ref[:] = sweep(u1, b_t, crop((px, py, pz), 2, 8, TX, TY), 1, 1, (TX, TY))
+        # sweep k (1-indexed) covers the tile extended by ±e, e = sweeps−k;
+        # each sweep reads its predecessor's in-VMEM halo. Anchors are given in
+        # the coordinates of the predecessor array (u_ext2 for k=1).
+        u = u_ext2
+        anchor_x, anchor_y = hx, 8  # ext coords of the tile origin in u
+        for k in range(1, sweeps + 1):
+            e = sweeps - k
+            sx, sy = TX + 2 * e, TY + 2 * e
+            bx, by = hx - e, 8 - e  # region origin in ext coords
+            b_r = b_ext2[bx:bx + sx, by:by + sy]
+            rx, ry = anchor_x - e, anchor_y - e  # region origin in u's coords
+            u = sweep(u, b_r, crop((px, py, pz), bx, by, sx, sy), rx, ry, (sx, sy))
+            anchor_x = anchor_y = e    # u now covers tile ± e; tile origin at (e, e)
+        out_ref[:] = u
 
     kwargs = {'memory_space': pltpu.VMEM} if _TPU and not interpret else {}
     tile_spec = pl.BlockSpec((TX, TY, Z), lambda i, j: (i, j, 0), **kwargs)
 
-    def wrap_x(e):  # element row → block index in 2-row units
-        return (e % X) // 2 if x_per else jnp.clip(e, 0, X - 2) // 2
+    def wrap_x(e):  # element row → block index in hx-row units
+        return (e % X) // hx if x_per else jnp.clip(e, 0, X - hx) // hx
 
     def wrap_y(e):  # element col → block index in 8-row units
         return (e % Y) // 8 if y_per else jnp.clip(e, 0, Y - 8) // 8
 
-    xlo = pl.BlockSpec((2, TY, Z), lambda i, j: (wrap_x(i * TX - 2), j, 0), **kwargs)
-    xhi = pl.BlockSpec((2, TY, Z), lambda i, j: (wrap_x(i * TX + TX), j, 0), **kwargs)
+    xlo = pl.BlockSpec((hx, TY, Z), lambda i, j: (wrap_x(i * TX - hx), j, 0), **kwargs)
+    xhi = pl.BlockSpec((hx, TY, Z), lambda i, j: (wrap_x(i * TX + TX), j, 0), **kwargs)
     ylo = pl.BlockSpec((TX, 8, Z), lambda i, j: (i, wrap_y(j * TY - 8), 0), **kwargs)
     yhi = pl.BlockSpec((TX, 8, Z), lambda i, j: (i, wrap_y(j * TY + TY), 0), **kwargs)
-    c00 = pl.BlockSpec((2, 8, Z), lambda i, j: (wrap_x(i * TX - 2), wrap_y(j * TY - 8), 0), **kwargs)
-    c01 = pl.BlockSpec((2, 8, Z), lambda i, j: (wrap_x(i * TX - 2), wrap_y(j * TY + TY), 0), **kwargs)
-    c10 = pl.BlockSpec((2, 8, Z), lambda i, j: (wrap_x(i * TX + TX), wrap_y(j * TY - 8), 0), **kwargs)
-    c11 = pl.BlockSpec((2, 8, Z), lambda i, j: (wrap_x(i * TX + TX), wrap_y(j * TY + TY), 0), **kwargs)
+    c00 = pl.BlockSpec((hx, 8, Z), lambda i, j: (wrap_x(i * TX - hx), wrap_y(j * TY - 8), 0), **kwargs)
+    c01 = pl.BlockSpec((hx, 8, Z), lambda i, j: (wrap_x(i * TX - hx), wrap_y(j * TY + TY), 0), **kwargs)
+    c10 = pl.BlockSpec((hx, 8, Z), lambda i, j: (wrap_x(i * TX + TX), wrap_y(j * TY - 8), 0), **kwargs)
+    c11 = pl.BlockSpec((hx, 8, Z), lambda i, j: (wrap_x(i * TX + TX), wrap_y(j * TY + TY), 0), **kwargs)
     group = [tile_spec, xlo, xhi, ylo, yhi, c00, c01, c10, c11]
     if zero_init:
         inputs = [b] * 9
@@ -553,7 +566,7 @@ def _jacobi2_pallas_3d(p, b, inv_dx2, bc, w, zero_init, interpret=False):
         grid=grid,
         in_specs=in_specs,
         out_specs=tile_spec,
-        out_shape=jax.ShapeDtypeStruct((X, Y, Z), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((X, Y, Z), b.dtype),
         interpret=interpret,
         **({'compiler_params': cp} if cp is not None and _TPU and not interpret else {}),
     )(*inputs)
@@ -592,6 +605,7 @@ def poisson_smooth(u: Optional[jnp.ndarray], b: jnp.ndarray,
 
     sx, sy = b.shape[-3], b.shape[-2]
     fused_ok = fused_ok and sx % 2 == 0 and _pick_tile_jacobi2(sx, sy, b.shape[-1], 2) is not None
+    triple_ok = fused_ok and sx % 4 == 0 and _pick_tile_jacobi2(sx, sy, b.shape[-1], 2, hx=4) is not None
     remaining = sweeps
     if zero_init:
         if fused_ok and remaining >= 3:
@@ -601,6 +615,10 @@ def poisson_smooth(u: Optional[jnp.ndarray], b: jnp.ndarray,
         else:
             u = np.float32(w) * b if b.dtype == jnp.float32 else w * b
             remaining -= 1
+    while remaining >= 3 and fuse_pairs and triple_ok:
+        u = batched(lambda uu, bb: _jacobi2_pallas_3d(uu, bb, inv_dx2, bc, w, False,
+                                                      sweeps=3, interpret=interpret), u, b)
+        remaining -= 3
     while remaining >= 2 and fuse_pairs and fused_ok:
         u = batched(lambda uu, bb: _jacobi2_pallas_3d(uu, bb, inv_dx2, bc, w, False,
                                                       interpret=interpret), u, b)

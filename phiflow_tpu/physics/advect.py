@@ -159,27 +159,34 @@ def _euler_disp_natives(field: Field, velocity: Field, dt_signed):
         return None
     from ..field._resample import sample_grid_at_centers
 
+    try:
+        scales = tuple(float(dt_signed) / float(dx[i]) for i in range(len(names)))
+    except Exception:
+        return None  # traced dt → generic path
+
     def disp_at(comp_field, t_dim):
         target_grid = field.geometry if t_dim is None else comp_field.geometry
         if not isinstance(target_grid, UniformGrid):
             raise _FastPathUnsupported()
         out = []
-        for i, s in enumerate(names):
+        for s in names:
             if t_dim is not None and s == t_dim:
                 vals = velocity.vector[s].values  # own faces: identity, zero-copy
             else:
                 vals = sample_grid_at_centers(velocity.vector[s], target_grid)
             if set(vals.shape.names) != set(names):
                 raise _FastPathUnsupported()
-            # native(names) fixes the axis ORDER; the transpose fuses into the
-            # operand materialization XLA performs for the pallas call anyway
-            out.append(vals.native(names) * (float(dt_signed) / float(dx[i])))
+            # UNSCALED: dt/dx is applied in-register by the window kernel
+            # (disp_scale), so identity components alias the velocity arrays
+            # with no extra HBM pass. native(names) fixes the axis ORDER; the
+            # transpose fuses into the pallas operand materialization.
+            out.append(vals.native(names))
         return out
 
     try:
         if field.is_staggered:
-            return {t: disp_at(field.vector[t], t) for t in names}
-        return disp_at(field, None)
+            return {t: disp_at(field.vector[t], t) for t in names}, scales
+        return disp_at(field, None), scales
     except Exception:
         return None
 
@@ -188,17 +195,19 @@ class _FastPathUnsupported(Exception):
     pass
 
 
-def _window_interp_field_native(field: Field, disp_map, max_cells: int,
+def _window_interp_field_native(field: Field, disp_and_scale, max_cells: int,
                                 extrema=False, negate=False):
     """Window-interpolate `field` at its own points displaced by the raw
-    per-axis arrays from `_euler_disp_natives` (already in cell units)."""
+    per-axis arrays from `_euler_disp_natives` (velocity units; the dt/dx
+    cell-unit conversion is applied in-register by the kernel)."""
     from ..math._nd import shift_window_interp
+    disp_map, scales = disp_and_scale
     if field.is_staggered:
         comps, los, ups = [], [], []
         for dim in field.resolution.names:
             comp = field.vector[dim]
             r = shift_window_interp(comp.values, disp_map[dim], comp.boundary, max_cells,
-                                    compute_extrema=extrema, negate=negate)
+                                    compute_extrema=extrema, negate=negate, disp_scale=scales)
             if extrema:
                 comps.append(r[0]); los.append(r[1]); ups.append(r[2])
             else:
@@ -208,7 +217,7 @@ def _window_interp_field_native(field: Field, disp_map, max_cells: int,
             return values, stack(los, dual(vector=field.resolution.names)), stack(ups, dual(vector=field.resolution.names))
         return values
     return shift_window_interp(field.values, disp_map, field.boundary, max_cells,
-                               compute_extrema=extrema, negate=negate)
+                               compute_extrema=extrema, negate=negate, disp_scale=scales)
 
 
 def _window_interp_field(field: Field, displacement: Tensor, max_cells: int, extrema=False):

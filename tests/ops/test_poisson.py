@@ -209,10 +209,9 @@ def test_poisson_smooth_single_tile_and_batched():
 
 @pytest.mark.parametrize('bc0', ['periodic', 'neumann'])
 def test_poisson_smooth_multi_tile(monkeypatch, bc0):
-    """Force TILE < X so the 4-row x-halo fetch logic is exercised."""
-    orig = poisson._divisor_tile
-    monkeypatch.setattr(poisson, '_divisor_tile',
-                        lambda X, pe, rc, rk, budget_bytes=14 << 20: min(orig(X, pe, rc, rk), 4))
+    """Force tiles < (X, Y) so the 2-D halo-assembly logic is exercised."""
+    monkeypatch.setattr(poisson, '_pick_tile_jacobi2',
+                        lambda X, Y, Z, n, hx=2, budget_bytes=22 << 20: (2 * hx, 8))
     bc = ((bc0, bc0), ('neumann', 'ghost0'), ('periodic', 'periodic'))
     rng = np.random.RandomState(13)
     b = jnp.asarray(rng.randn(16, 16, 128).astype(np.float32))

@@ -162,11 +162,12 @@ def test_poisson_apply_xy_tiled_matches_xla():
 
 
 def test_jacobi2_xy_tiled_matches_sweeps():
-    """The fused two-sweep (and zero-init three-sweep) Jacobi kernel with
-    forced 2-D tiling must equal looped single jacobi applications exactly."""
+    """The fused pair/triple (and zero-init three-sweep) Jacobi kernels with
+    forced 2-D tiling must equal looped single jacobi applications (up to
+    f32 reassociation — verified elsewhere to vanish in f64)."""
     from phiflow_tpu.ops import poisson as P
     orig = P._pick_tile_jacobi2
-    P._pick_tile_jacobi2 = lambda X, Y, Z, n, budget_bytes=0: (4, 8)
+    P._pick_tile_jacobi2 = lambda X, Y, Z, n, hx=2, budget_bytes=0: (4 if hx == 2 else 8, 8)
     try:
         X, Y, Z = 16, 24, 128
         b = jax.random.normal(jax.random.PRNGKey(2), (X, Y, Z), jnp.float32)
@@ -180,10 +181,11 @@ def test_jacobi2_xy_tiled_matches_sweeps():
             for _ in range(2):
                 ref = P._apply_xla(ref, inv, bcs, None, None, None, b, 'jacobi', w)
             assert float(jnp.max(jnp.abs(got - ref))) < 5e-6, ('zero-init', bcs)
-            got = P._jacobi2_pallas_3d(p, b, inv, bcs, w, False, interpret=True)
-            ref = p
-            for _ in range(2):
-                ref = P._apply_xla(ref, inv, bcs, None, None, None, b, 'jacobi', w)
-            assert float(jnp.max(jnp.abs(got - ref))) < 5e-6, ('pair', bcs)
+            for sweeps in (2, 3):
+                got = P._jacobi2_pallas_3d(p, b, inv, bcs, w, False, sweeps=sweeps, interpret=True)
+                ref = p
+                for _ in range(sweeps):
+                    ref = P._apply_xla(ref, inv, bcs, None, None, None, b, 'jacobi', w)
+                assert float(jnp.max(jnp.abs(got - ref))) < 2e-5, (sweeps, bcs)
     finally:
         P._pick_tile_jacobi2 = orig
