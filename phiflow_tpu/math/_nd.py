@@ -75,7 +75,60 @@ def _grid_sample_xla(grid: Tensor, coordinates: Tensor, extrap: Optional[Extrapo
         axis = out_dims.index(n)
         iota = jax.lax.broadcasted_iota(jnp.int32, out_sizes, axis)
         shared_lin = iota if shared_lin is None else shared_lin * size + iota
-    result = None
+    # --- slab-gather fast path (TPU) ---------------------------------------
+    # TPU gather costs ~7 ns PER INDEX regardless of row width (measured:
+    # 1M scalar-row takes = 6.7 ms, 100k 128-wide-row takes = 0.38 ms). The
+    # generic path spends 2^d indices per query point; this path fetches ONE
+    # (2, 2, Zp) slab per (x, y) corner-pair index — 4× (3D) / 2× (2D) fewer
+    # indices with wide rows — and performs the z interpolation in-register
+    # via hat weights over the full row. Exact for clamped (non-periodic)
+    # boundaries: float positions are clipped BEFORE the floor/frac split,
+    # which reproduces per-corner clamping.
+    n_query = int(np.prod(out_sizes)) if out_sizes else 1
+    Zp = p_sizes[-1]
+    slab_ok = (d in (2, 3) and not any(periodic) and kept_rest.rank == 0
+               and shared_lin is None and n_query >= 2048
+               and spatial_vol * (4 if d == 3 else 2) <= 64 * 1024 * 1024
+               and n_query * Zp * (4 if d == 3 else 2) <= 128 * 1024 * 1024)
+    if slab_ok:
+        g3 = flat_grid.reshape(tuple(p_sizes))
+        pos = [jnp.clip(coords_native[..., k] + offsets[k], 0., p_sizes[k] - 1.)
+               for k in range(d)]
+        zf = pos[-1]
+        wz = jnp.maximum(0., 1. - jnp.abs(jnp.arange(Zp, dtype=zf.dtype) - zf[..., None]))
+        if d == 3:
+            Xp, Yp = p_sizes[0], p_sizes[1]
+            ix = jnp.clip(jnp.floor(pos[0]), 0, Xp - 2).astype(jnp.int32)
+            iy = jnp.clip(jnp.floor(pos[1]), 0, Yp - 2).astype(jnp.int32)
+            fx = (pos[0] - ix).astype(g3.dtype)
+            fy = (pos[1] - iy).astype(g3.dtype)
+            table = jnp.stack([g3[:-1, :-1], g3[:-1, 1:], g3[1:, :-1], g3[1:, 1:]],
+                              axis=2).reshape((Xp - 1) * (Yp - 1), 4 * Zp)
+            rows = jnp.take(table, (ix * (Yp - 1) + iy).reshape(-1), axis=0)
+            rows = rows.reshape(out_sizes + (2, 2, Zp))
+            # zero-weight taps are MASKED, not multiplied: 0·NaN = NaN would let
+            # a single non-finite row entry (FLIP's NaN ghost padding) poison
+            # the whole contraction, where the 2-corner form never touches it
+            wzb = wz[..., None, None, :].astype(g3.dtype)
+            vz = jnp.sum(jnp.where(wzb > 0, rows * wzb, jnp.zeros((), g3.dtype)), axis=-1)  # (..., 2, 2)
+            vy = vz[..., 0] * (1. - fy)[..., None] + vz[..., 1] * fy[..., None]    # (..., 2)
+            result = vy[..., 0] * (1. - fx) + vy[..., 1] * fx
+        else:
+            Xp = p_sizes[0]
+            ix = jnp.clip(jnp.floor(pos[0]), 0, Xp - 2).astype(jnp.int32)
+            fx = (pos[0] - ix).astype(g3.dtype)
+            table = jnp.stack([g3[:-1], g3[1:]], axis=1).reshape(Xp - 1, 2 * Zp)
+            rows = jnp.take(table, ix.reshape(-1), axis=0).reshape(out_sizes + (2, Zp))
+            wzb = wz[..., None, :].astype(g3.dtype)  # masked: see 3D note (NaN ghosts)
+            vz = jnp.sum(jnp.where(wzb > 0, rows * wzb, jnp.zeros((), g3.dtype)), axis=-1)  # (..., 2)
+            result = vz[..., 0] * (1. - fx) + vz[..., 1] * fx
+        return Tensor(result, concat_shapes(out_dims, kept_rest))
+
+    # ONE batched gather for all 2^d corners (a separate jnp.take per corner
+    # costs 2^d small gather kernels with per-op overhead that dominated the
+    # FLIP particle G2P path — 96 takes per RK4 step at 125k particles)
+    idx_corners = []
+    w_corners = []
     for corner in itertools.product((0, 1), repeat=d):
         idx = None
         w = None
@@ -90,9 +143,15 @@ def _grid_sample_xla(grid: Tensor, coordinates: Tensor, extrap: Optional[Extrapo
             w = wk if w is None else w * wk
         if shared_lin is not None:
             idx = jnp.broadcast_to(idx, out_sizes) + shared_lin * spatial_vol
-        vals = jnp.take(flat_grid, idx.reshape(-1), axis=0).reshape(idx.shape + tuple(kept_rest.sizes))
-        w = w.reshape(w.shape + (1,) * kept_rest.rank)
-        contrib = vals * w.astype(vals.dtype)
+        idx_corners.append(idx)
+        w_corners.append(w)
+    idx_all = jnp.stack(idx_corners, 0)                      # (2^d, *out)
+    vals_all = jnp.take(flat_grid, idx_all.reshape(-1), axis=0) \
+        .reshape(idx_all.shape + tuple(kept_rest.sizes))
+    result = None
+    for c in range(len(idx_corners)):
+        w = w_corners[c].reshape(w_corners[c].shape + (1,) * kept_rest.rank)
+        contrib = vals_all[c] * w.astype(vals_all.dtype)
         result = contrib if result is None else result + contrib
     return Tensor(result, concat_shapes(out_dims, kept_rest))
 

@@ -135,3 +135,32 @@ def test_histogram():
     counts, edges = histogram(t, bins=10)
     assert counts.shape.get_size('bins') == 10
     assert int(np.asarray(counts.native()).sum()) == 1000
+
+
+def test_grid_sample_slab_path_matches_generic_and_nan_safe():
+    """The slab-gather fast path (one wide-row take per (x,y) corner pair,
+    engaged at >=2048 query points) must match the per-corner generic path,
+    and a NaN ghost ANYWHERE in a z-row must not poison queries whose weights
+    never touch it (FLIP's ConstantExtrapolation(NaN) convention)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from phiflow_tpu.math import _nd, extrapolation
+    from phiflow_tpu.math import Tensor as T
+    from phiflow_tpu.math import spatial, channel
+
+    rng = np.random.default_rng(3)
+    vals = rng.standard_normal((12, 10, 140)).astype(np.float32)
+    grid = T(jnp.asarray(vals), spatial(x=12, y=10, z=140))
+    N = 4096
+    coords = rng.uniform(-1.0, 14.0, (N, 3)).astype(np.float32)
+    ct_big = T(jnp.asarray(coords), spatial(points=N) & channel(vector='x,y,z'))
+    ct_small = T(jnp.asarray(coords[:64]), spatial(points=64) & channel(vector='x,y,z'))
+    fast = _nd._grid_sample_xla(grid, ct_big, extrapolation.BOUNDARY).native(('points',))
+    slow = _nd._grid_sample_xla(grid, ct_small, extrapolation.BOUNDARY).native(('points',))
+    assert float(jnp.max(jnp.abs(fast[:64] - slow))) < 1e-5
+    # NaN ghosts: pad with NaN, query strictly interior points
+    nan_ext = extrapolation.ConstantExtrapolation(float('nan'))
+    inner = rng.uniform(2.0, 7.0, (N, 3)).astype(np.float32)
+    ct_in = T(jnp.asarray(inner), spatial(points=N) & channel(vector='x,y,z'))
+    out = _nd._grid_sample_xla(grid, ct_in, nan_ext).native(('points',))
+    assert bool(jnp.all(jnp.isfinite(out))), "interior queries must not see NaN ghosts"
