@@ -420,6 +420,11 @@ class Field:
     def __truediv__(self, other): return self._op2(other, lambda a, b: a / b)
     def __rtruediv__(self, other): return self._op2(other, lambda a, b: b / a)
     def __pow__(self, other): return self._op2(other, lambda a, b: a ** b)
+
+    def __matmul__(self, other):
+        """`self @ target` resamples onto `target`'s sample points (reference: _field.py:344)."""
+        from ._resample import resample
+        return resample(self, other)
     def __neg__(self): return self._op1(lambda x: -x)
     def __abs__(self): return self._op1(lambda x: abs(x))
     def __gt__(self, other): return self._op2(other, lambda a, b: a > b)

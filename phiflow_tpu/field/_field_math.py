@@ -149,9 +149,17 @@ def spatial_gradient(field: Field,
     """
     if field.is_mesh:
         from ._mesh_math import green_gauss_gradient, least_squares_gradient
-        if scheme in ('least-squares', 'least_squares'):
-            return least_squares_gradient(field, stack_dim=stack_dim, boundary=boundary)
-        return green_gauss_gradient(field, stack_dim=stack_dim, boundary=boundary)
+        grad_fn = least_squares_gradient if scheme in ('least-squares', 'least_squares') else green_gauss_gradient
+        if field.shape.channel:  # vector field → per-component gradients stacked as 'gradient'
+            ch = field.shape.channel[0:1]
+            if stack_dim.dims[0].name == ch.name:
+                stack_dim = channel('gradient')
+            labels = field.shape.get_labels(ch.name) or tuple(range(ch.volume))
+            comps = [grad_fn(field[{ch.name: l}], stack_dim=stack_dim, boundary=boundary)
+                     for l in labels]
+            values = math_stack([c.values for c in comps], ch)
+            return Field(field.geometry, values, comps[0].boundary)
+        return grad_fn(field, stack_dim=stack_dim, boundary=boundary)
     assert field.is_grid, f"spatial_gradient requires a grid, got {type(field.geometry)}"
     grad_ext = as_boundary(boundary, field.geometry) if boundary is not None else field.boundary.spatial_gradient()
     dims = [n for n in (dims or field.resolution.names) if n in field.resolution.names]

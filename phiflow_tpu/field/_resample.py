@@ -68,6 +68,10 @@ def sample(value, geometry, at: str = 'center', boundary=None, dot_face_normal=N
     (reference: phi/field/_resample.py:75)."""
     if isinstance(geometry, Field):
         geometry = geometry.sampled_elements if geometry.is_staggered else geometry.geometry
+    if isinstance(geometry, Tensor):  # raw point tensor (reference: sample accepts Tensor locations)
+        from ..geom._geom import Point
+        assert 'vector' in geometry.shape, f"point tensor must have a 'vector' channel dim, got {geometry.shape}"
+        geometry = Point(geometry)
     boundary = as_boundary(boundary, geometry) if boundary is not None else None
     # --- Geometry masks ---
     if isinstance(value, Geometry):

@@ -51,7 +51,7 @@ from .field import Scene, SceneBatch, write as write_field, read as read_field
 
 # --- physics ---
 from . import physics
-from .physics import advect, diffuse, fluid
+from .physics import advect, diffuse, fluid, integrate
 from .physics.fluid import Obstacle, make_incompressible, incompressible_rk4
 try:
     from .physics import sph

@@ -92,3 +92,23 @@ def const_vec(value, dims) -> Tensor:
 
 def masked(value):  # pragma: no cover - convenience
     return value
+
+
+def l2_loss(x, reduce=None) -> Tensor:
+    """½·Σ x² over all non-batch dims (phiml math.l2_loss parity)."""
+    from ._tensor import TensorStack as _TS
+    if isinstance(x, _TS):
+        return sum([l2_loss(c) for c in x.components])
+    x = wrap(x)
+    from . import _ops as _o
+    return _o.sum_(x ** 2, reduce if reduce is not None else x.shape.non_batch) * 0.5
+
+
+def l1_loss(x, reduce=None) -> Tensor:
+    """Σ |x| over all non-batch dims (phiml math.l1_loss parity)."""
+    from ._tensor import TensorStack as _TS
+    if isinstance(x, _TS):
+        return sum([l1_loss(c) for c in x.components])
+    x = wrap(x)
+    from . import _ops as _o
+    return _o.sum_(abs(x), reduce if reduce is not None else x.shape.non_batch)

@@ -293,7 +293,15 @@ cos = _unary(jnp.cos)
 tan = _unary(jnp.tan)
 arcsin = _unary(jnp.arcsin)
 arccos = _unary(jnp.arccos)
-arctan = _unary(jnp.arctan)
+_arctan1 = _unary(jnp.arctan)
+
+
+def arctan(x, divide_by=None) -> Tensor:
+    """arctan(x), or the full-quadrant arctan2(x, divide_by) when `divide_by`
+    is given (phiml math.arctan parity)."""
+    if divide_by is None:
+        return _arctan1(x)
+    return wrap(x)._op2(wrap(divide_by), jnp.arctan2)
 sinh = _unary(jnp.sinh)
 cosh = _unary(jnp.cosh)
 tanh = _unary(jnp.tanh)

@@ -259,11 +259,9 @@ class Geometry3D(Recipe):
     def plot(self, data: Geometry, figure, axis, space, **kwargs):
         try:
             from ..geom._convert import surface_mesh
-            mesh = surface_mesh(data)
-            verts = np.asarray(mesh.vertices.center.native(('vertices', 'vector')))
+            verts, faces = surface_mesh(data, rel_dx=0.05)
             from mpl_toolkits.mplot3d.art3d import Poly3DCollection
-            elems = np.asarray(mesh.elements)
-            poly = Poly3DCollection(verts[elems.reshape(-1, 3)], alpha=0.6)
+            poly = Poly3DCollection(verts[faces], alpha=0.6)
             axis.add_collection3d(poly)
             return poly
         except Exception:

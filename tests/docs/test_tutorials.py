@@ -13,7 +13,9 @@ import pytest
 DOCS = os.path.join(os.path.dirname(__file__), '..', '..', 'docs')
 
 TUTORIALS = ['Math_Introduction.md', 'Fluids_Tutorial.md', 'FLIP.md',
-             'Scene_Format_Specification.md']
+             'Scene_Format_Specification.md', 'Geometry.md', 'SDF.md',
+             'Heightmaps.md', 'IO_with_Scenes.md', 'Unstructured_Meshes.md',
+             'Physics.md', 'Visualization.md', 'Cookbook.md']
 
 _BLOCK = re.compile(r'```python\n(.*?)```', re.DOTALL)
 
