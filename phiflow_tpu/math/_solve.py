@@ -483,6 +483,92 @@ def _bicgstab(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
     return x, res, it, converged
 
 
+def _bicgstab2(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
+    """BiCGStab(2) — the genuine ℓ=2 Sleijpen–Fokkema variant: two BiCG steps
+    followed by a 2-dimensional minimal-residual polynomial per outer iteration
+    (4 matvecs). The quadratic MR polynomial keeps the recurrence stable on
+    stiff/indefinite systems where plain BiCGStab's linear ω-polynomial
+    stagnates — the reference prescribes exactly this method for its order-4/6
+    implicit systems at 1e-10 (reference:
+    tests/commit/physics/test_higher_order.py:31, phiml Solve('biCG-stab(2)')).
+
+    Preconditioning is applied on the RIGHT (Â = A∘M): residuals stay in
+    b-space, so the tolerance test is unchanged; x-updates go through M.
+    `it` counts matvecs/2 so reported iteration cost is comparable to
+    one-matvec-per-iteration CG."""
+    dtype = b[0].dtype
+    eps = jnp.asarray(1e-30, dtype)
+
+    def safe_denom(v):
+        return jnp.where(jnp.abs(v) < eps, jnp.where(v < 0, -eps, eps), v)
+
+    Mfn = M if M is not None else (lambda v: v)
+    b_norm_sq = _ldot(b, b, nb)
+    tol_sq = jnp.maximum(jnp.asarray(atol, dtype), jnp.asarray(rtol, dtype) * jnp.sqrt(b_norm_sq)) ** 2
+    x = x0
+    Ax = A(x)
+    r0 = [bi - axi for bi, axi in zip(b, Ax)]
+    r_hat = r0
+    ones = jnp.ones_like(b_norm_sq)
+    rho = -ones          # ρ₀ pre-negated: body starts with ρ ← −ω·ρ and ω₀ = 1
+    alpha = jnp.zeros_like(ones)
+    omega = ones
+    u0 = [jnp.zeros_like(ri) for ri in r0]
+
+    def cond(state):
+        x, r0, u0, rho, alpha, omega, it = state
+        return jnp.logical_and(it < max_iter, jnp.any(_ldot(r0, r0, nb) > tol_sq))
+
+    def body(state):
+        x, r0, u0, rho, alpha, omega, it = state
+        active = (_ldot(r0, r0, nb) > tol_sq).astype(dtype)
+        rho = -omega * rho
+        # --- even BiCG step (j = 0) ---
+        rho1 = _ldot(r0, r_hat, nb)
+        beta = alpha * rho1 / safe_denom(rho)
+        rho = rho1
+        u0 = _lcomb(r0, -beta, u0, nb)
+        u1 = A(Mfn(u0))
+        alpha = rho / safe_denom(_ldot(u1, r_hat, nb))
+        alpha = alpha * active
+        r0 = _lcomb(r0, -alpha, u1, nb)
+        r1 = A(Mfn(r0))
+        x = _lcomb(x, alpha, Mfn(u0), nb)
+        # --- odd BiCG step (j = 1) ---
+        rho1 = _ldot(r1, r_hat, nb)
+        beta = alpha * rho1 / safe_denom(rho)
+        rho = rho1
+        u0 = _lcomb(r0, -beta, u0, nb)
+        u1 = _lcomb(r1, -beta, u1, nb)
+        u2 = A(Mfn(u1))
+        alpha = rho / safe_denom(_ldot(u2, r_hat, nb))
+        alpha = alpha * active
+        r0 = _lcomb(r0, -alpha, u1, nb)
+        r1 = _lcomb(r1, -alpha, u2, nb)
+        r2 = A(Mfn(r1))
+        x = _lcomb(x, alpha, Mfn(u0), nb)
+        # --- MR part: minimize ‖r0 − γ₁r1 − γ₂r2‖ (2×2 normal equations) ---
+        s11 = _ldot(r1, r1, nb)
+        s12 = _ldot(r1, r2, nb)
+        s22 = _ldot(r2, r2, nb)
+        t1 = _ldot(r1, r0, nb)
+        t2 = _ldot(r2, r0, nb)
+        det = safe_denom(s11 * s22 - s12 * s12)
+        g1 = (s22 * t1 - s12 * t2) / det * active
+        g2 = (s11 * t2 - s12 * t1) / det * active
+        x = _lcomb(_lcomb(x, g1, Mfn(r0), nb), g2, Mfn(r1), nb)
+        r0 = _lcomb(_lcomb(r0, -g1, r1, nb), -g2, r2, nb)
+        u0 = _lcomb(_lcomb(u0, -g1, u1, nb), -g2, u2, nb)
+        omega = g2
+        return x, r0, u0, rho, alpha, omega, it + 2
+
+    state = (x, r0, u0, rho, alpha, omega, jnp.asarray(0, jnp.int32))
+    x, r0, *_, it = jax.lax.while_loop(cond, body, state)
+    res = jnp.sqrt(_ldot(r0, r0, nb))
+    converged = jnp.all(res ** 2 <= tol_sq)
+    return x, res, it, converged
+
+
 def _direct(A, b, x0, rank_deficiency=0):
     """Dense direct solve: materialize A by applying it to basis vectors (small N only)."""
     n = b.shape[-1]
@@ -556,8 +642,10 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
         krylov = _cg
     elif method == 'CG-adaptive':
         krylov = _cg_adaptive
-    elif method in ('biCG', 'biCG-stab', 'biCG-stab(1)', 'biCG-stab(2)'):
+    elif method in ('biCG', 'biCG-stab', 'biCG-stab(1)'):
         krylov = _bicgstab
+    elif method == 'biCG-stab(2)':
+        krylov = _bicgstab2
     elif method in ('direct', 'scipy-direct'):
         # the dense direct path materializes A column-by-column: O(N²) memory
         # and N matvecs — only viable for small systems. Large systems reroute

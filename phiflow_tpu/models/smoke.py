@@ -73,6 +73,90 @@ class SmokePlume:
         from . import to_device
         return to_device((self.velocity0, self.smoke0, self.pressure0))
 
+    # ------------------------------------------------------------------
+    # fused advection megakernel path (TPU): ONE slab staging of the raw
+    # component arrays + 3 pallas calls cover BOTH advection phases —
+    # MacCormack smoke (fwd / bwd+combine+clamp+inflow) and staggered
+    # self-advection with the buoyancy lift fused in as a blocked operand.
+    # Displacements are constructed in-VMEM from the velocity slabs
+    # (ops/advect3d.py), eliminating the 6 off-component interpolation
+    # passes and the per-phase re-staging of the same velocity data.
+    # ------------------------------------------------------------------
+    def _fused_advect_available(self, velocity: Field, smoke: Field, interpret=False) -> bool:
+        from ..ops import advect3d
+        from ..math.extrapolation import ConstantExtrapolation
+        from ..math import _ops as ops
+        if len(self._names) != 3 or self.max_cells is None:
+            return False
+        if not (advect3d.pallas_ok() or interpret):
+            return False
+        N = tuple(int(s) for s in velocity.resolution.sizes)
+        if not advect3d.supported(N, self.max_cells):
+            return False
+        if velocity.values.shape.batch or smoke.values.shape.batch:
+            return False
+        vb = velocity.boundary
+        if not (isinstance(vb, ConstantExtrapolation) and ops.always_close(vb.value, 0)):
+            return False
+        from ..math._extrapolation import _BoundaryExtrapolation
+        if not isinstance(smoke.boundary, _BoundaryExtrapolation):
+            return False
+        # dx must be 1 per axis (bounds == resolution): the in-register inflow
+        # ball and cell-unit scaling assume it — true for this model's setup
+        import numpy as _np
+        dx = _np.asarray(velocity.dx.native(velocity.dx.shape.names)).reshape(-1)
+        return bool(_np.allclose(dx, 1.0))
+
+    def _fused_advect(self, velocity: Field, smoke: Field, interpret=False) -> Tuple[Field, Field]:
+        """Both advection phases via ops.advect3d. Returns (velocity', smoke')."""
+        import jax.numpy as jnp
+        from ..math import Tensor
+        from ..ops import advect3d
+        from ..ops.advect3d import OutSpec, stage_slab, stage_slab_padded, fused_advect_3d
+        names = self._names
+        K = self.max_cells
+        N = tuple(int(s) for s in velocity.resolution.sizes)
+        order = tuple(names)
+        comps = [velocity.vector[d].values.native(order) for d in names]
+        s_raw = smoke.values.native(order)
+        scales = (-self.dt, -self.dt, -self.dt)  # dx == 1 (gated above)
+        vel_slabs = [stage_slab(comps[d], d, N, K) for d in range(3)]
+        # smoke: zero-gradient boundary → edge-replicated halos
+        s_padded = jnp.pad(s_raw, K, mode='edge')
+        smoke_slab = stage_slab_padded(s_padded, N, K)
+        # --- call 1: MacCormack forward pass of the smoke + clamp extrema ---
+        [(fwd, lo, up)] = fused_advect_3d(vel_slabs + [smoke_slab], N, K,
+                                          [OutSpec(slab=3, extrema=True)], scales,
+                                          interpret=interpret)
+        fwd_c = fwd[:N[0], :N[1], :N[2]]
+        fwd_slab = stage_slab_padded(jnp.pad(fwd_c, K, mode='edge'), N, K)
+        # --- call 2: backward pass + combine + clamp + inflow + lift plane ---
+        Xa, Ya, Za = fwd.shape
+        s_aligned = jnp.pad(s_raw, [(0, Xa - N[0]), (0, Ya - N[1]), (0, Za - N[2])])
+        ball = (self._inflow_center[names[0]], self._inflow_center[names[1]],
+                self._inflow_center[names[2]], self._inflow_radius, self.inflow_rate)
+        [(s_new_a, lift)] = fused_advect_3d(
+            vel_slabs + [fwd_slab], N, K,
+            [OutSpec(slab=3, negate=True, combine=(0, 1, 2, 1.0), add_ball=ball,
+                     emit_lift=(2, self.buoyancy_dir[-1] * self.dt))],
+            scales, blocked_extras=[s_aligned, lo, up], interpret=interpret)
+        smoke_new = smoke.with_values(Tensor(s_new_a[:N[0], :N[1], :N[2]],
+                                             smoke.values.shape.only(order, reorder=True)))
+        # --- call 3: staggered self-advection + buoyancy on the last axis ---
+        outs = [OutSpec(slab=d, d_own=d) for d in range(3)]
+        outs[2] = outs[2]._replace(add_blocked=(0, 1.0))
+        adv = fused_advect_3d(vel_slabs, N, K, outs, scales,
+                              blocked_extras=[lift], interpret=interpret)
+        new_comps = []
+        for d, dim in enumerate(names):
+            shp = [N[0], N[1], N[2]]
+            shp[d] -= 1
+            cropped = adv[d][:shp[0], :shp[1], :shp[2]]
+            cshape = velocity.vector[dim].values.shape.only(order, reorder=True)
+            new_comps.append(Tensor(cropped, cshape))
+        vel_new = velocity.with_values(stack(new_comps, dual(vector=names)))
+        return vel_new, smoke_new
+
     def advect_smoke(self, velocity: Field, smoke: Field) -> Field:
         """Phase 1: MacCormack smoke advection + soft inflow.
 
@@ -107,7 +191,10 @@ class SmokePlume:
                                 suppress=(ConvergenceException,)))
 
     def step(self, velocity: Field, smoke: Field, pressure: Optional[Field]):
-        smoke = self.advect_smoke(velocity, smoke)
-        velocity = self.advect_velocity(velocity, smoke)
+        if self._fused_advect_available(velocity, smoke):
+            velocity, smoke = self._fused_advect(velocity, smoke)
+        else:
+            smoke = self.advect_smoke(velocity, smoke)
+            velocity = self.advect_velocity(velocity, smoke)
         velocity, pressure = self.project(velocity, pressure)
         return velocity, smoke, pressure

@@ -162,3 +162,46 @@ def test_solve_nonlinear_newton():
     x0 = math.zeros(spatial(x=3))
     x = solve_nonlinear(f, target, Solve('Newton', 1e-6, 1e-6, x0=x0))
     math.assert_close(f(x), target, abs_tolerance=1e-4)
+
+
+def test_bicgstab2_is_genuine_l2():
+    """'biCG-stab(2)' must dispatch to the Sleijpen–Fokkema ℓ=2 solver (two
+    BiCG steps + quadratic MR polynomial per outer iteration), not alias plain
+    BiCGStab (reference: phiml exposes it distinctly; used by
+    tests/commit/physics/test_higher_order.py:31 at 1e-10)."""
+    import jax.numpy as jnp
+    from phiflow_tpu.math import _solve as solve_mod
+    assert solve_mod._bicgstab2 is not solve_mod._bicgstab
+
+    with math.precision(64):
+        rng = np.random.RandomState(7)
+        n = 96
+        # stiff nonsymmetric: 1D biharmonic-like band + asymmetric perturbation
+        D = (np.diag(np.full(n, 6.)) + np.diag(np.full(n - 1, -4.), 1)
+             + np.diag(np.full(n - 1, -4.), -1) + np.diag(np.full(n - 2, 1.), 2)
+             + np.diag(np.full(n - 2, 1.), -2) + np.diag(np.full(n - 1, 0.3), 1) * 0
+             + 0.5 * np.eye(n))
+        D[0, :4] += [1.5, -2.0, 0.5, 0.1]   # one-sided boundary rows → nonsymmetric
+        D[-1, -4:] += [0.1, 0.5, -2.0, 1.5]
+        rhs = rng.randn(n)
+        A = lambda xs: [jnp.asarray(D) @ xs[0]]
+        x, res, it, conv = solve_mod._bicgstab2(
+            A, [jnp.asarray(rhs)], [jnp.zeros(n, jnp.float64)], 1e-10, 1e-10, 4000)
+        assert bool(conv), (float(res), int(it))
+        err = np.max(np.abs(np.asarray(x[0]) - np.linalg.solve(D, rhs)))
+        assert err < 1e-7, err
+
+
+def test_bicgstab2_through_solve_linear_batched():
+    """End-to-end 'biCG-stab(2)' via solve_linear with a batch dim: frozen
+    convergence per batch entry, right preconditioning path unused."""
+    with math.precision(64):
+        def op(x):
+            return 4 * x - 0.9 * math.shift_sum(x) if hasattr(math, 'shift_sum') else 4 * x
+        # simple SPD-ish shifted operator via laplace on a periodic grid
+        from phiflow_tpu.math import extrapolation as _ext
+        def f(x):
+            return 4 * x - math.laplace(x, padding=_ext.PERIODIC)
+        rhs = math.random_normal(batch(b=2), spatial(x=32))
+        x = math.solve_linear(f, rhs, Solve('biCG-stab(2)', 1e-9, 1e-9))
+        math.assert_close(f(x), rhs, abs_tolerance=1e-7)

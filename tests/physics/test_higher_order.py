@@ -173,9 +173,10 @@ def test_poiseuille_steady_state_f64():
         for _ in range(25):  # transient decays as e^{−ν·π²·t}: fully converged
             u = u + dt * force
             # compact order-6 operator is nonsymmetric (one-sided boundary rows)
-            # → BiCGStab, as the reference uses biCG-stab(2) for this config
+            # → biCG-stab(2), same method the reference prescribes for this
+            # config (reference: tests/commit/physics/test_higher_order.py:31)
             u = diffuse.implicit(u, nu, dt, order=6,
-                                 solve=Solve('biCG-stab', 1e-10, 1e-10, max_iterations=500))
+                                 solve=Solve('biCG-stab(2)', 1e-10, 1e-10, max_iterations=500))
         analytic = G / (nu * np.pi ** 2) * math.sin(
             np.pi * (math.wrap(np.arange(n) + 0.5, u.values.shape['y']) / n))
         err = float(math.max(abs(u.values - analytic)))

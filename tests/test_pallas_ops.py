@@ -189,3 +189,33 @@ def test_jacobi2_xy_tiled_matches_sweeps():
                 assert float(jnp.max(jnp.abs(got - ref))) < 2e-5, (sweeps, bcs)
     finally:
         P._pick_tile_jacobi2 = orig
+
+
+def test_fused_advect_3d_matches_separate_phases():
+    """The fused advection megakernel (ops/advect3d.py: one slab staging + 3
+    pallas calls for MacCormack smoke + staggered self-advection + buoyancy)
+    must reproduce the separate per-component path bit-for-bit up to f32
+    roundoff (interpret mode; the TPU path is certified on-chip by bench.py)."""
+    import numpy as np
+    from phiflow_tpu.models import SmokePlume
+
+    model = SmokePlume(resolution=64, dims=3)
+    v, s, p = model.initial_state()
+    for _ in range(2):  # build a nontrivial state with the reference phases
+        s = model.advect_smoke(v, s)
+        v = model.advect_velocity(v, s)
+        v, p = model.project(v, p)
+    assert model._fused_advect_available(v, s, interpret=True)
+    s_old = model.advect_smoke(v, s)
+    v_old = model.advect_velocity(v, s_old)
+    v_new, s_new = model._fused_advect(v, s, interpret=True)
+
+    def nat(f):
+        t = f.values
+        if hasattr(t, 'components'):
+            return [np.asarray(c.native()) for c in t.components]
+        return [np.asarray(t.native())]
+
+    np.testing.assert_allclose(nat(s_new)[0], nat(s_old)[0], atol=2e-5)
+    for a, b_ in zip(nat(v_new), nat(v_old)):
+        np.testing.assert_allclose(a, b_, atol=2e-5)
