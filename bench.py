@@ -148,6 +148,12 @@ def run_bench(resolution: int, dims: int = 3, steps: int = 20, warmup: int = 3, 
 
     if phases:
         # --- per-phase timings on the post-warmup state (realistic fields) ---
+        # Each phase is measured as the exact in-step call: fused advection when
+        # the megakernel path is active (ops/advect3d.py), else the separate
+        # smoke/velocity phases; pressure = projection of the post-advect
+        # velocity warm-started at the previous pressure. Runs at 512^3 too
+        # (VERDICT r3 #7) — each sub-phase is guarded so an OOM only drops that
+        # entry, not the whole resolution.
         import numpy as np
         from phiflow_tpu.math import Solve, ConvergenceException
         from phiflow_tpu.physics import fluid
@@ -162,22 +168,39 @@ def run_bench(resolution: int, dims: int = 3, steps: int = 20, warmup: int = 3, 
             return vel2, p2, tape.solve_infos[-1].iterations
 
         ph = {}
-        f_smoke = jax.jit(model.advect_smoke)
-        f_vel = jax.jit(model.advect_velocity)
-        f_proj = jax.jit(model.project)
-        f_proj_it = jax.jit(project_with_iters)
-        s2 = f_smoke(v, s)
-        v2 = f_vel(v, s2)
-        v3, p3 = f_proj(v2, p)
-        _hard_sync(s2, v2, v3)  # compile + settle
         n = max(3, steps // 2)
-        ph['advect_smoke_ms'] = _time_fn(f_smoke, (v, s), n, lambda o: _hard_sync(o))[0] * 1000
-        ph['advect_velocity_ms'] = _time_fn(f_vel, (v, s2), n, lambda o: _hard_sync(o))[0] * 1000
-        ph['pressure_ms'] = _time_fn(f_proj, (v2, p), n, lambda o: _hard_sync(o[0]))[0] * 1000
-        _, _, iters = f_proj_it(v2, p)
-        ph['cg_iterations'] = int(np.asarray(iters))
+        v2 = None
+        try:
+            if model._fused_advect_available(v, s):
+                f_adv = jax.jit(model._fused_advect)
+                v2, s2 = f_adv(v, s)
+                _hard_sync(v2, s2)
+                ph['advect_fused_ms'] = _time_fn(f_adv, (v, s), n,
+                                                 lambda o: _hard_sync(o[0]))[0] * 1000
+            else:
+                f_smoke = jax.jit(model.advect_smoke)
+                f_vel = jax.jit(model.advect_velocity)
+                s2 = f_smoke(v, s)
+                v2 = f_vel(v, s2)
+                _hard_sync(s2, v2)
+                ph['advect_smoke_ms'] = _time_fn(f_smoke, (v, s), n, lambda o: _hard_sync(o))[0] * 1000
+                ph['advect_velocity_ms'] = _time_fn(f_vel, (v, s2), n, lambda o: _hard_sync(o))[0] * 1000
+            del s2
+        except Exception as exc:
+            sys.stderr.write(f"advect phase timing failed at {resolution}^{dims}: {type(exc).__name__}: {exc}\n")
+        try:
+            f_proj_it = jax.jit(project_with_iters)
+            v_in = v2 if v2 is not None else v
+            v3, p3, iters = f_proj_it(v_in, p)
+            _hard_sync(v3)
+            ph['pressure_ms'] = _time_fn(f_proj_it, (v_in, p), n,
+                                         lambda o: _hard_sync(o[0]))[0] * 1000
+            ph['cg_iterations'] = int(np.asarray(iters))
+            del v3, p3
+        except Exception as exc:
+            sys.stderr.write(f"pressure phase timing failed at {resolution}^{dims}: {type(exc).__name__}: {exc}\n")
+        del v2
         result['phases'] = ph
-        del s2, v2, v3, p3  # free HBM before the caller reuses the device
     return result
 
 
@@ -245,6 +268,128 @@ def run_flip(resolution: int = 128, steps: int = 10, warmup: int = 2, dims: int 
             'per_step_ms': per_step * 1000}
 
 
+def run_cavity(resolution: int = 256, steps: int = 20, warmup: int = 3, obstacle: bool = False):
+    """BASELINE config #3: lid-driven cavity (+ optional moving-obstacle mask) —
+    times the obstacle-masked Poisson solve path (reference:
+    examples/grids/Lid_Driven_Cavity.ipynb, masks phi/physics/fluid.py:127-137)."""
+    jax = _setup_jax()
+    import numpy as np
+    from phiflow_tpu.models import LidDrivenCavity
+    from phiflow_tpu.math import Solve, SolveTape, ConvergenceException
+    from phiflow_tpu.physics import fluid
+
+    model = LidDrivenCavity(resolution=resolution, obstacle=obstacle)
+    v, p = model.initial_state()
+    steps_per_call = 4
+
+    def multi_step(v, p):
+        for _ in range(steps_per_call):
+            v, p = model.step(v, p)
+        return v, p
+
+    step = jax.jit(multi_step, donate_argnums=(0, 1))
+    for _ in range(max(warmup, 2)):
+        v, p = step(v, p)
+    _hard_sync(v)
+    check_retrace = _retrace_guard(step, f'cavity {resolution}^2 obstacle={obstacle}')
+    calls = max(1, steps // steps_per_call)
+    t0 = time.perf_counter()
+    vv, pp = v, p
+    for _ in range(calls):
+        vv, pp = step(vv, pp)
+    _hard_sync(vv)
+    per_step = (time.perf_counter() - t0) / (calls * steps_per_call)
+    check_retrace()
+    v, p = vv, pp
+
+    # CG iteration count + projection-only wall clock on the live state
+    from phiflow_tpu.physics import advect, diffuse
+
+    def project_with_iters(vel, prev_p):
+        solve = Solve('CG', model.cg_tol, 0., x0=prev_p, max_iterations=model.max_iterations,
+                      suppress=(ConvergenceException,), implicit_diff=False)
+        with SolveTape() as tape:
+            vel2, p2 = fluid.make_incompressible(vel, model.obstacles, solve)
+        return vel2, p2, tape.solve_infos[-1].iterations
+
+    def pre_project(vel):
+        vel = advect.semi_lagrangian(vel, vel, model.dt)
+        return diffuse.explicit(vel, model.viscosity, model.dt)
+
+    v_adv = jax.jit(pre_project)(v)
+    f_proj = jax.jit(project_with_iters)
+    v3, p3, iters = f_proj(v_adv, p)
+    _hard_sync(v3)
+    proj_ms = _time_fn(f_proj, (v_adv, p), max(3, steps // 2), lambda o: _hard_sync(o[0]))[0] * 1000
+    return {'resolution': resolution, 'obstacle': obstacle, 'per_step_ms': per_step * 1000,
+            'steps_per_sec': 1.0 / per_step, 'projection_ms': proj_ms,
+            'cg_iterations': int(np.asarray(iters))}
+
+
+def run_burgers_bench(resolution: int = 128, steps: int = 40, warmup: int = 2, implicit: bool = True):
+    """BASELINE config #1: Burgers 2D, semi-Lagrangian + implicit diffusion on a
+    periodic grid (reference: examples/grids/Burgers.ipynb)."""
+    jax = _setup_jax()
+    from phiflow_tpu.models import Burgers
+    model = Burgers(resolution=resolution, dims=2, implicit=implicit, viscosity=0.1, dt=0.5)
+    (v,) = model.initial_state()
+    steps_per_call = 8  # small grid: amortize the tunnel dispatch
+
+    def multi_step(v):
+        for _ in range(steps_per_call):
+            (v,) = model.step(v)
+        return v
+
+    step = jax.jit(multi_step)
+    for _ in range(max(warmup, 2)):
+        v = step(v)
+    _hard_sync(v)
+    check_retrace = _retrace_guard(step, f'burgers {resolution}^2')
+    calls = max(1, steps // steps_per_call)
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        v = step(v)
+    _hard_sync(v)
+    per_step = (time.perf_counter() - t0) / (calls * steps_per_call)
+    check_retrace()
+    return {'resolution': resolution, 'implicit': implicit, 'per_step_ms': per_step * 1000,
+            'steps_per_sec': 1.0 / per_step}
+
+
+def run_golden_gate():
+    """On-DEVICE numerical certification (VERDICT r3 #5): run the 2D golden
+    trajectories (independent NumPy MAC oracle, tests/golden/numpy_ref.py) on
+    the default device in f32 and record L2 vs golden. Catches Mosaic
+    miscompiles / tile-boundary bugs that interpret-mode tests cannot see.
+    Thresholds are f32-scaled (golden was generated in f64 at 1e-12)."""
+    import importlib.util
+    import numpy as np
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        'golden_runners', os.path.join(here, 'tests', 'golden', 'test_golden.py'))
+    g = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(g)
+    data = dict(np.load(os.path.join(here, 'tests', 'golden', 'golden.npz')).items())
+
+    def l2(a, b):
+        return float(np.sqrt(np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)))
+
+    # f32 device run: 1e-12 tolerances are unreachable (CG would burn its full
+    # max_iterations budget stalling); 1e-7 converges quickly with the MG /
+    # masked-Chebyshev preconditioners and lands well under the 1e-4 gate
+    out = {}
+    vx, vy = g.run_burgers(data, use_jit=True)
+    out['burgers_l2'] = max(l2(vx, data['burgers_vx']), l2(vy, data['burgers_vy']))
+    ux, uy = g.run_projection(data, tol=1e-7, use_jit=True)
+    out['projection_l2'] = max(l2(ux, data['proj_ux']), l2(uy, data['proj_uy']))
+    ux, uy = g.run_obstacle_projection(data, tol=1e-7, use_jit=True)
+    out['obstacle_projection_l2'] = max(l2(ux, data['obs_ux']), l2(uy, data['obs_uy']))
+    s, ux, uy = g.run_smoke(data, tol=1e-7, use_jit=True)
+    out['smoke_l2'] = max(l2(s, data['smoke_s']), l2(ux, data['smoke_ux']), l2(uy, data['smoke_uy']))
+    out['pass'] = bool(all(val < 1e-4 for val in out.values()))
+    return out
+
+
 def main():
     jax = _setup_jax()
     results = {}
@@ -255,6 +400,17 @@ def main():
                          f"(phase timings below ~{3 * dispatch_ms:.0f} ms measure the tunnel, not the kernel)\n")
     except Exception as exc:
         sys.stderr.write(f"dispatch overhead probe failed: {type(exc).__name__}: {exc}\n")
+    # On-device numerical certification BEFORE timing (VERDICT r3 #5): golden
+    # 2D trajectories vs the independent NumPy MAC oracle — catches Mosaic
+    # miscompiles / tile-boundary bugs that interpret-mode tests cannot see.
+    golden = None
+    try:
+        golden = run_golden_gate()
+        sys.stderr.write(f"golden gate: {golden}\n")
+        if not golden['pass']:
+            sys.stderr.write("GOLDEN GATE FAILED — timings below are of numerically wrong kernels\n")
+    except Exception as exc:
+        sys.stderr.write(f"golden gate failed to run: {type(exc).__name__}: {exc}\n")
     # Kolmogorov first: it is small; running it after a 512³ OOM inherits a
     # fragmented heap
     kolmogorov = None
@@ -277,11 +433,30 @@ def main():
                          f"{flip3d['per_step_ms']:.1f} ms/step\n")
     except Exception as exc:
         sys.stderr.write(f"flip 3D bench failed: {type(exc).__name__}: {exc}\n")
+    cavity = cavity_obs = burgers = None
+    try:
+        cavity = run_cavity(256, obstacle=False)
+        sys.stderr.write(f"cavity 256^2: {cavity['per_step_ms']:.1f} ms/step, "
+                         f"projection {cavity['projection_ms']:.1f} ms, {cavity['cg_iterations']} CG iters\n")
+    except Exception as exc:
+        sys.stderr.write(f"cavity bench failed: {type(exc).__name__}: {exc}\n")
+    try:
+        cavity_obs = run_cavity(256, obstacle=True)
+        sys.stderr.write(f"cavity+obstacle 256^2: {cavity_obs['per_step_ms']:.1f} ms/step, "
+                         f"projection {cavity_obs['projection_ms']:.1f} ms, {cavity_obs['cg_iterations']} CG iters\n")
+    except Exception as exc:
+        sys.stderr.write(f"cavity+obstacle bench failed: {type(exc).__name__}: {exc}\n")
+    try:
+        burgers = run_burgers_bench(128)
+        sys.stderr.write(f"burgers 128^2: {burgers['per_step_ms']:.2f} ms/step\n")
+    except Exception as exc:
+        sys.stderr.write(f"burgers bench failed: {type(exc).__name__}: {exc}\n")
     for res in (64, 128, 256, 512):
         try:
-            # phases off at 512³: the extra per-phase buffers don't fit HBM
+            # per-phase sub-timings guarded internally; at 512³ an OOM in one
+            # phase drops only that entry (VERDICT r3 #7)
             results[res] = run_bench(res, dims=3, steps=10 if res < 512 else 4, warmup=3,
-                                     phases=res < 512)
+                                     phases=True)
             r = results[res]
             ph = r.get('phases', {})
             detail = (f" [smoke {ph.get('advect_smoke_ms', 0):.1f} + vel {ph.get('advect_velocity_ms', 0):.1f}"
@@ -321,6 +496,14 @@ def main():
                         'n_particles': flip['n_particles']} if flip else None),
         'flip_64^3': ({'per_step_ms': round(flip3d['per_step_ms'], 2),
                        'n_particles': flip3d['n_particles']} if flip3d else None),
+        'cavity_256^2': ({k: (round(vv, 3) if isinstance(vv, float) else vv)
+                          for k, vv in cavity.items()} if cavity else None),
+        'cavity_obstacle_256^2': ({k: (round(vv, 3) if isinstance(vv, float) else vv)
+                                   for k, vv in cavity_obs.items()} if cavity_obs else None),
+        'burgers_128^2': ({k: (round(vv, 3) if isinstance(vv, float) else vv)
+                           for k, vv in burgers.items()} if burgers else None),
+        'golden': ({k: (float(f"{vv:.3e}") if isinstance(vv, float) else vv)
+                    for k, vv in golden.items()} if golden else None),
         'device': str(jax.devices()[0]),
     }))
 

