@@ -94,34 +94,52 @@ def _grid_sample_xla(grid: Tensor, coordinates: Tensor, extrap: Optional[Extrapo
         g3 = flat_grid.reshape(tuple(p_sizes))
         pos = [jnp.clip(coords_native[..., k] + offsets[k], 0., p_sizes[k] - 1.)
                for k in range(d)]
-        zf = pos[-1]
-        wz = jnp.maximum(0., 1. - jnp.abs(jnp.arange(Zp, dtype=zf.dtype) - zf[..., None]))
+        # The contraction stays in the FLAT (N, 2^{d-1}·Zp) row layout: reshaping
+        # the gathered rows to (..., 2, 2, Zp) forces physical relayouts on TPU
+        # (tiled (8,128) → different tiling), and per-corner selects re-read the
+        # 4·Zp rows once per corner. Profiled on a FLIP 64³ step: reshape+copy+
+        # select of the row intermediates was 24 ms of a 44 ms step. Instead the
+        # xy-corner weights are folded into the z hat weights to one combined
+        # (N, 2^{d-1}·Zp) weight array whose construction XLA fuses into the
+        # single multiply-reduce over the rows — one pass, no reshapes.
+        flat_q = (-1,)
+        zf_flat = jnp.clip(pos[-1].reshape(flat_q), 0., Zp - 1.)
         if d == 3:
             Xp, Yp = p_sizes[0], p_sizes[1]
             ix = jnp.clip(jnp.floor(pos[0]), 0, Xp - 2).astype(jnp.int32)
             iy = jnp.clip(jnp.floor(pos[1]), 0, Yp - 2).astype(jnp.int32)
-            fx = (pos[0] - ix).astype(g3.dtype)
-            fy = (pos[1] - iy).astype(g3.dtype)
+            fx = (pos[0] - ix).astype(g3.dtype).reshape(flat_q + (1,))
+            fy = (pos[1] - iy).astype(g3.dtype).reshape(flat_q + (1,))
             table = jnp.stack([g3[:-1, :-1], g3[:-1, 1:], g3[1:, :-1], g3[1:, 1:]],
                               axis=2).reshape((Xp - 1) * (Yp - 1), 4 * Zp)
-            rows = jnp.take(table, (ix * (Yp - 1) + iy).reshape(-1), axis=0)
-            rows = rows.reshape(out_sizes + (2, 2, Zp))
-            # zero-weight taps are MASKED, not multiplied: 0·NaN = NaN would let
-            # a single non-finite row entry (FLIP's NaN ghost padding) poison
-            # the whole contraction, where the 2-corner form never touches it
-            wzb = wz[..., None, None, :].astype(g3.dtype)
-            vz = jnp.sum(jnp.where(wzb > 0, rows * wzb, jnp.zeros((), g3.dtype)), axis=-1)  # (..., 2, 2)
-            vy = vz[..., 0] * (1. - fy)[..., None] + vz[..., 1] * fy[..., None]    # (..., 2)
-            result = vy[..., 0] * (1. - fx) + vy[..., 1] * fx
+            rows = jnp.take(table, (ix * (Yp - 1) + iy).reshape(-1), axis=0)  # (N, 4·Zp)
+            # combined trilinear weights built DIRECTLY in the (N, 4·Zp) row
+            # layout from a lane iota (j = c·Zp + z): any (N,4,Zp)→(N,4·Zp)
+            # reshape is a physical relayout on TPU (0.58 ms × 12/step at 125k
+            # particles); this form fuses into the multiply-reduce instead
+            j = jax.lax.broadcasted_iota(jnp.int32, (1, 4 * Zp), 1)
+            zlane = (j % Zp).astype(g3.dtype)
+            c = j // Zp
+            wzl = jnp.maximum(0., 1. - jnp.abs(zlane - zf_flat[:, None].astype(g3.dtype)))
+            wx = jnp.where(c >= 2, fx, 1. - fx)
+            wy = jnp.where(c % 2 == 1, fy, 1. - fy)
+            W = wx * wy * wzl
         else:
             Xp = p_sizes[0]
             ix = jnp.clip(jnp.floor(pos[0]), 0, Xp - 2).astype(jnp.int32)
-            fx = (pos[0] - ix).astype(g3.dtype)
+            fx = (pos[0] - ix).astype(g3.dtype).reshape(flat_q + (1,))
             table = jnp.stack([g3[:-1], g3[1:]], axis=1).reshape(Xp - 1, 2 * Zp)
-            rows = jnp.take(table, ix.reshape(-1), axis=0).reshape(out_sizes + (2, Zp))
-            wzb = wz[..., None, :].astype(g3.dtype)  # masked: see 3D note (NaN ghosts)
-            vz = jnp.sum(jnp.where(wzb > 0, rows * wzb, jnp.zeros((), g3.dtype)), axis=-1)  # (..., 2)
-            result = vz[..., 0] * (1. - fx) + vz[..., 1] * fx
+            rows = jnp.take(table, ix.reshape(-1), axis=0)                    # (N, 2·Zp)
+            j = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * Zp), 1)
+            zlane = (j % Zp).astype(g3.dtype)
+            wzl = jnp.maximum(0., 1. - jnp.abs(zlane - zf_flat[:, None].astype(g3.dtype)))
+            W = jnp.where(j // Zp == 1, fx, 1. - fx) * wzl
+        # zero-weight taps are MASKED, not multiplied: 0·NaN = NaN would let a
+        # single non-finite row entry (FLIP's NaN ghost padding) poison the
+        # whole contraction, where the 2-corner form never touches it
+        W = W.astype(g3.dtype)
+        result = jnp.sum(jnp.where(W > 0, rows * W, jnp.zeros((), g3.dtype)), axis=-1)
+        result = result.reshape(out_sizes)
         return Tensor(result, concat_shapes(out_dims, kept_rest))
 
     # ONE batched gather for all 2^d corners (a separate jnp.take per corner

@@ -1,8 +1,11 @@
 """Round-4 perf triage: break the FLIP step and the smoke pressure phase into
 sub-phases on the real chip, plus a scatter micro-benchmark comparing P2G
 strategies. Run: python tools/profile_r4.py [flip|pressure|scatter]"""
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
