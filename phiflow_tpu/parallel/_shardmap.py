@@ -357,24 +357,10 @@ def make_sharded_projection(mesh: Mesh, axes: Dict[str, str], template,
     return jax.jit(project)
 
 
-def sharded_make_incompressible(dd, velocity, solve):
-    """Public-API dispatch target: `fluid.make_incompressible` routes here when
-    a `parallel.decomposition(...)` is active. Runs the one-shot explicit
-    projection (ppermute halos + psum'd MG-CG) inside the CALLER's trace.
-
-    Returns (velocity', pressure), or None when the problem does not fit the
-    explicit path (non-staggered / non-uniform grid, unclassifiable or traced
-    boundaries, batch dims, indivisible shard counts) — the caller then falls
-    back to the GSPMD solver, so dispatch is always safe.
-    """
-    from ..geom._grid import UniformGrid
-    from ..math import Tensor, spatial
-    from ..field import Field
-    f = velocity
-    if not (f.is_grid and f.is_staggered and isinstance(f.geometry, UniformGrid)):
-        return None
-    if f.values.shape.batch:
-        return None  # batch: GSPMD shards the batch axis natively
+def _dispatch_checks(dd, f):
+    """Shared bail-out checks for the public-API dispatch: classifiable
+    concrete boundaries and shard-divisible resolutions. Returns the dim tuple
+    or None (caller falls back to GSPMD)."""
     dims = tuple(f.resolution.names)
     mesh, axes = dd.mesh, dd.axes
     try:
@@ -389,13 +375,67 @@ def sharded_make_incompressible(dd, velocity, solve):
         a = axes.get(d)
         if a and int(f.resolution.get_size(d)) % mesh.shape[a] != 0:
             return None
+    return dims
+
+
+def sharded_make_incompressible(dd, velocity, solve, obstacles=(), active=None):
+    """Public-API dispatch target: `fluid.make_incompressible` routes here when
+    a `parallel.decomposition(...)` is active. Runs the one-shot explicit
+    projection (ppermute halos + psum'd MG-CG) inside the CALLER's trace.
+    Covers the plain, batched (vmap over shard_map), stationary-obstacle, and
+    free-surface (`active` mask, FLIP) cases.
+
+    Returns (velocity', pressure), or None when the problem does not fit the
+    explicit path (non-staggered / non-uniform grid, unclassifiable or traced
+    boundaries, moving obstacles, indivisible shard counts) — the caller then
+    falls back to the GSPMD solver, so dispatch is always safe.
+    """
+    from ..geom._grid import UniformGrid
+    from ..math import Tensor, spatial
+    from ..field import Field
+    f = velocity
+    if not (f.is_grid and f.is_staggered and isinstance(f.geometry, UniformGrid)):
+        return None
+    if obstacles or active is not None:
+        if f.values.shape.batch:
+            return None  # masked + batch: GSPMD handles it
+        return _sharded_masked_incompressible(dd, f, solve, obstacles, active)
+    dims = _dispatch_checks(dd, f)
+    if dims is None:
+        return None
+    mesh, axes = dd.mesh, dd.axes
     solve = solve.with_defaults('solve')
+    b_shape = f.values.shape.batch
+    template = f[{n: 0 for n in b_shape.names}] if b_shape else f
     try:
-        kit = _make_kit(mesh, axes, f, rel_tol=solve.rel_tol, abs_tol=solve.abs_tol,
+        kit = _make_kit(mesh, axes, template, rel_tol=solve.rel_tol, abs_tol=solve.abs_tol,
                         max_iterations=solve.max_iterations)
     except Exception:
         return None
     ndim = len(dims)
+    if b_shape:
+        # data parallelism composed with the spatial mesh: flatten batch dims
+        # to one leading axis and vmap the shard_map body (VERDICT r3 #6)
+        specs_in = tuple(kit.in_spec for _ in range(ndim))
+        specs_out = tuple(kit.in_spec for _ in range(ndim)) + (kit.in_spec, PartitionSpec())
+        sharded = jax.shard_map(kit.project_blocks, mesh=mesh, in_specs=specs_in,
+                                out_specs=specs_out, check_vma=False)
+        batched = jax.vmap(sharded)
+        comps = {}
+        for i, d in enumerate(dims):
+            comp = f.vector[d].values
+            arr = comp.native(tuple(b_shape.names) + dims)
+            comps[d] = arr.reshape((-1,) + arr.shape[len(b_shape.names):])
+        arrays = _uniform_from_logical_batched(comps, template, dims)
+        results = batched(*[arrays[d] for d in dims])
+        v_out = _staggered_from_uniform_batched({d: results[i] for i, d in enumerate(dims)},
+                                                template, b_shape)
+        from ..math._shape import concat_shapes
+        p_flat = results[ndim]
+        p_shape = concat_shapes(b_shape, spatial(**dict(zip(dims, kit.res))))
+        p_field = Field(f.geometry, Tensor(p_flat.reshape(tuple(b_shape.sizes) + kit.res), p_shape),
+                        _pressure_ext(template))
+        return v_out, p_field
     specs_in = tuple(kit.in_spec for _ in range(ndim + 1))  # faces + pressure warm start
     specs_out = tuple(kit.in_spec for _ in range(ndim)) + (kit.in_spec, PartitionSpec())
     sharded = jax.shard_map(kit.project_blocks, mesh=mesh, in_specs=specs_in,
@@ -411,6 +451,72 @@ def sharded_make_incompressible(dd, velocity, solve):
     v_out = staggered_from_uniform({d: results[i] for i, d in enumerate(dims)}, f)
     p_field = Field(f.geometry, Tensor(results[ndim], spatial(**dict(zip(dims, kit.res)))),
                     _pressure_ext(f))
+    return v_out, p_field
+
+
+def _sharded_masked_incompressible(dd, velocity, solve, obstacles, active):
+    """Masked public-API dispatch: stationary obstacles (cavity / wind tunnel)
+    and free-surface `active` masks (FLIP) through the explicit shard_map
+    masked projection, in the caller's trace. Mirrors the single-device
+    semantics of fluid.make_incompressible (masks fluid.py:94-137, operator
+    fluid.py:165-202): divergence balancing + nullspace projection only for
+    closed all-active boxes, NaN-guarded divergence for free-surface systems.
+    """
+    from ..physics import fluid as _fluid
+    from ..math import Tensor, spatial
+    from ..field import Field
+    f = velocity
+    obstacles = _fluid._get_obstacles_for(obstacles, f)
+    if any(not o.is_stationary for o in obstacles):
+        return None  # moving obstacles: traced geometry — GSPMD path
+    if active is not None:
+        if not (active.is_grid and active.is_centered) or active.values.shape.batch:
+            return None
+        if tuple(int(active.resolution.get_size(d)) for d in f.resolution.names) != \
+                tuple(int(f.resolution.get_size(d)) for d in f.resolution.names):
+            return None
+    dims = _dispatch_checks(dd, f)
+    if dims is None:
+        return None
+    mesh, axes = dd.mesh, dd.axes
+    solve = solve.with_defaults('solve')
+    try:
+        kit = _make_kit(mesh, axes, f, rel_tol=solve.rel_tol, abs_tol=solve.abs_tol,
+                        max_iterations=solve.max_iterations)
+        staged = _stage_masked_system(kit, f, obstacles, active=active)
+    except Exception:
+        return None
+    if staged is None:
+        return None
+    active_arr, hb_uniform, mA_full, c0_full = staged
+    ndim = len(dims)
+    # single-device gate (fluid.py:123-126): balance/nullspace only when the
+    # system is all-active at entry (obstacles deactivate cells but the box
+    # stays closed → still singular); a free-surface mask adds Dirichlet rows
+    balance = active is None and not f.boundary.is_flexible
+    project_blocks = _masked_projection_body(
+        kit, float(solve.rel_tol), float(solve.abs_tol), int(solve.max_iterations),
+        balance=balance, nan_guard=active is not None, with_p0=True)
+    n_in = 2 + 3 * ndim + 1  # active, c0, mA×d, hb×d, u×d, p0
+    specs_in = tuple(kit.in_spec for _ in range(n_in))
+    specs_out = tuple(kit.in_spec for _ in range(ndim)) + (kit.in_spec, PartitionSpec())
+    sharded = jax.shard_map(project_blocks, mesh=mesh, in_specs=specs_in,
+                            out_specs=specs_out, check_vma=False)
+    if obstacles:
+        f = _fluid.apply_boundary_conditions(f, obstacles)
+    arrays = uniform_staggered(f, template=velocity)
+    dtype = arrays[dims[0]].dtype
+    if isinstance(solve.x0, Field) and solve.x0.values.shape.spatial:
+        p0 = jnp.broadcast_to(solve.x0.values.native(dims), kit.res).astype(dtype)
+    else:
+        p0 = jnp.zeros(kit.res, dtype)
+    results = sharded(active_arr.astype(dtype), c0_full.astype(dtype),
+                      *[m.astype(dtype) for m in mA_full],
+                      *[hb_uniform[d].astype(dtype) for d in dims],
+                      *[arrays[d] for d in dims], p0)
+    v_out = staggered_from_uniform({d: results[i] for i, d in enumerate(dims)}, velocity)
+    p_field = Field(velocity.geometry, Tensor(results[ndim], spatial(**dict(zip(dims, kit.res)))),
+                    _pressure_ext(velocity))
     return v_out, p_field
 
 
@@ -627,17 +733,16 @@ def make_sharded_smoke_step(mesh: Mesh, axes: Dict[str, str], v_template, s_temp
     return jax.jit(step)
 
 
-def make_sharded_obstacle_projection(mesh: Mesh, axes: Dict[str, str], template, obstacles,
-                                     rel_tol: float = 1e-5, abs_tol: float = 1e-5,
-                                     max_iterations: int = 2000):
-    """Sharded pressure projection WITH stationary obstacles: the masked
-    Poisson operator (reference: fluid.py:165-202 masked_laplace) staged into
-    cell-aligned coefficient arrays on the host (ops.poisson.stage_masks),
-    sharded as extra block inputs, and applied with ppermute halos inside one
-    shard_map. Mirrors the single-device semantics: velocity zeroed inside
-    obstacles, identity rows on blocked cells, divergence balancing for the
-    closed-box nullspace, plain psum'd CG (the MG preconditioner approximates
-    the unobstructed operator poorly here, as on one device).
+def _stage_masked_system(kit, template, obstacles, active=None):
+    """Stage the masked Poisson system (reference semantics: fluid.py:94-137
+    mask construction + fluid.py:165-202 masked_laplace): per-cell active mask,
+    staggered hard-BC face masks, and cell-aligned operator coefficients
+    (mA per axis + c0) via ops.poisson.stage_masks. Pure jnp — stationary
+    obstacle geometry stages to constants; a free-surface ``active`` Field may
+    be a tracer (FLIP: the occupancy mask changes every step).
+
+    Returns (active_arr, hb_uniform, mA_full, c0_full), or None if the
+    pressure boundaries are not classifiable.
     """
     from ..physics import fluid as _fluid
     from ..ops import poisson as _poisson
@@ -645,22 +750,16 @@ def make_sharded_obstacle_projection(mesh: Mesh, axes: Dict[str, str], template,
     from ..field import stagger as _field_stagger
     from ..geom import union as _union
     from ..math import _ops as _mops
-    from ..math import extrapolation as _extrap
 
-    kit = _make_kit(mesh, axes, template, rel_tol, abs_tol, max_iterations)
-    dims, ndim, res = kit.dims, kit.ndim, kit.res
-    inv_dx2 = kit.inv_dx2
-
-    # --- host-side mask staging (static obstacle geometry) ---
-    obstacles = _fluid._get_obstacles_for(obstacles, template)
-    assert all(o.is_stationary for o in obstacles), "explicit path: stationary obstacles only"
+    dims, res = kit.dims, kit.res
     accessible_b = _fluid._accessible_extrapolation(template.boundary)
     accessible = _Field(template.geometry, ~_union([o.geometry for o in obstacles]), accessible_b)
     hard_bcs = _field_stagger(accessible, _mops.minimum, template.boundary,
                               at=template.sampled_at, dims=dims)
     pressure_ext = _fluid._pressure_extrapolation(template.boundary)
     bc = _fluid._classify_pressure_bc(pressure_ext, template.boundary, dims)
-    assert bc is not None, "obstacle projection requires classifiable pressure boundaries"
+    if bc is None:
+        return None
     full_masks = []
     for di, d in enumerate(dims):
         comp = hard_bcs.values[{'~vector': d}]
@@ -671,10 +770,34 @@ def make_sharded_obstacle_projection(mesh: Mesh, axes: Dict[str, str], template,
             pad_cfg[di] = (int(not lo_valid), int(not up_valid))
         m = jnp.pad(m, pad_cfg)
         full_masks.append(m)
-    mA_list, c0 = _poisson.stage_masks(full_masks, bc, inv_dx2)
-    active_arr = accessible.values.native(dims)
+    mA_list, c0 = _poisson.stage_masks(full_masks, bc, kit.inv_dx2)
+    active_arr = jnp.broadcast_to(accessible.values.native(dims), res)
+    if active is not None:
+        # free-surface mask: active cells = liquid ∩ accessible (fluid.py:115)
+        act = active.values.native(tuple(n for n in dims if n in active.values.shape))
+        active_arr = jnp.broadcast_to(act, res).astype(active_arr.dtype) * active_arr
     hb_uniform = uniform_staggered(hard_bcs, template=template)
+    mA_full = [jnp.broadcast_to(m, res) for m in mA_list]
+    c0_full = jnp.broadcast_to(c0, res)
+    return active_arr, hb_uniform, mA_full, c0_full
 
+
+def _masked_projection_body(kit, rel_tol, abs_tol, max_iterations,
+                            balance: bool, nan_guard: bool = False, with_p0: bool = False):
+    """Build the shard_map body for the masked projection. Mirrors the
+    single-device semantics exactly:
+
+    - ``balance``: closed-box divergence balancing + nullspace mean projection
+      — applied only when there is NO free-surface mask (fluid.py:119-128; a
+      free-surface system has Dirichlet rows and is nonsingular).
+    - ``nan_guard``: ``where(isfinite(div), div, 0)`` for free-surface systems
+      (fluid.py:121 — P2G velocities can be NaN in empty regions).
+    - ``with_p0``: accept a pressure warm start as the trailing block input.
+
+    Block inputs: (active, c0, mA×d, hb×d, u×d[, p0]); outputs (u'×d, p, iters).
+    """
+    dims, ndim = kit.dims, kit.ndim
+    inv_dx2 = kit.inv_dx2
     mA_specs = []
     for i, d in enumerate(dims):
         per_axis = []
@@ -710,7 +833,8 @@ def make_sharded_obstacle_projection(mesh: Mesh, axes: Dict[str, str], template,
     def project_blocks(active, c0_blk, *rest):
         mA_blocks = rest[:ndim]
         hb_blocks = rest[ndim:2 * ndim]
-        u_blocks = rest[2 * ndim:]  # already boundary-conditioned (see project())
+        u_blocks = rest[2 * ndim:3 * ndim]  # already boundary-conditioned (see callers)
+        p0 = rest[3 * ndim] if with_p0 else None
         # divergence
         div = None
         for i, d in enumerate(dims):
@@ -724,22 +848,32 @@ def make_sharded_obstacle_projection(mesh: Mesh, axes: Dict[str, str], template,
             term = (uh[tuple(idx_hi)] - uh[tuple(idx_lo)]) * np.float32(kit.inv_dx[i])
             div = term if div is None else div + term
         # reference semantics (fluid.py:119-128): zero the divergence on blocked
-        # cells (keeps CG on the definite active block), active-weighted balance
-        # for the closed-box nullspace, then the rank-deficiency mean projection
+        # cells (keeps CG on the definite active block); for closed boxes
+        # active-weighted balance + the rank-deficiency mean projection
         div = div * active
-        div = div - active * (_mean_psum(div, kit.spatial_axis_names, kit.n_cells)
-                              / _mean_psum(active, kit.spatial_axis_names, kit.n_cells))
-        b = div - _mean_psum(div, kit.spatial_axis_names, kit.n_cells)
+        if nan_guard:
+            div = jnp.where(jnp.isfinite(div), div, jnp.zeros_like(div))
+        if balance:
+            div = div - active * (_mean_psum(div, kit.spatial_axis_names, kit.n_cells)
+                                  / _mean_psum(active, kit.spatial_axis_names, kit.n_cells))
+            b = div - _mean_psum(div, kit.spatial_axis_names, kit.n_cells)
+        else:
+            b = div
         b_norm_sq = kit.psum_dot(b, b)
         tol_sq = jnp.maximum(abs_tol, rel_tol * jnp.sqrt(b_norm_sq)) ** 2
 
         def A(p):
             return jnp.where(active != 0, masked_lap(p, mA_blocks, c0_blk), p)
 
-        x = jnp.zeros_like(b)
-        r = b
+        if p0 is not None:
+            x = p0
+            r = b - A(x)
+            rr = kit.psum_dot(r, r)
+        else:
+            x = jnp.zeros_like(b)
+            r = b
+            rr = b_norm_sq
         p = r
-        rr = b_norm_sq
 
         def cond(state):
             x, r, p, rr, it = state
@@ -756,7 +890,8 @@ def make_sharded_obstacle_projection(mesh: Mesh, axes: Dict[str, str], template,
             return x, r, p, rr_new, it + 1
 
         x, r, p, rr, it = lax.while_loop(cond, body, (x, r, p, rr, jnp.asarray(0, jnp.int32)))
-        x = x - _mean_psum(x, kit.spatial_axis_names, kit.n_cells)
+        if balance:
+            x = x - _mean_psum(x, kit.spatial_axis_names, kit.n_cells)
         # pressure gradient at faces, masked by hard_bcs
         ph = halo_exchange(x, p_fill, width=1)
         out = []
@@ -768,15 +903,38 @@ def make_sharded_obstacle_projection(mesh: Mesh, axes: Dict[str, str], template,
             out.append(u_blocks[i] - grad * hb_blocks[i])
         return tuple(out) + (x, it)
 
+    return project_blocks
+
+
+def make_sharded_obstacle_projection(mesh: Mesh, axes: Dict[str, str], template, obstacles,
+                                     rel_tol: float = 1e-5, abs_tol: float = 1e-5,
+                                     max_iterations: int = 2000):
+    """Sharded pressure projection WITH stationary obstacles: the masked
+    Poisson operator (reference: fluid.py:165-202 masked_laplace) staged into
+    cell-aligned coefficient arrays on the host (ops.poisson.stage_masks),
+    sharded as extra block inputs, and applied with ppermute halos inside one
+    shard_map. Mirrors the single-device semantics: velocity zeroed inside
+    obstacles, identity rows on blocked cells, divergence balancing for the
+    closed-box nullspace, plain psum'd CG (the MG preconditioner approximates
+    the unobstructed operator poorly here, as on one device).
+    """
+    from ..physics import fluid as _fluid
+
+    kit = _make_kit(mesh, axes, template, rel_tol, abs_tol, max_iterations)
+    dims, ndim, res = kit.dims, kit.ndim, kit.res
+    obstacles = _fluid._get_obstacles_for(obstacles, template)
+    assert all(o.is_stationary for o in obstacles), "explicit path: stationary obstacles only"
+    staged = _stage_masked_system(kit, template, obstacles)
+    assert staged is not None, "obstacle projection requires classifiable pressure boundaries"
+    active_arr, hb_uniform, mA_full, c0_full = staged
+    project_blocks = _masked_projection_body(kit, rel_tol, abs_tol, max_iterations, balance=True)
+
     in_spec = kit.in_spec
     n_in = 2 + ndim + ndim + ndim  # active, c0, mA×d, hb×d, u×d
     specs_in = tuple(in_spec for _ in range(n_in))
     specs_out = tuple(in_spec for _ in dims) + (in_spec, PartitionSpec())
     sharded = jax.shard_map(project_blocks, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
                             check_vma=False)
-    # mA arrays from stage_masks broadcast over non-own dims; materialize full
-    mA_full = [jnp.broadcast_to(m, res) for m in mA_list]
-    c0_full = jnp.broadcast_to(c0, res)
 
     def project(field):
         # blend obstacle velocities into the field exactly as the reference

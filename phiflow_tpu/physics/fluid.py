@@ -107,13 +107,16 @@ def make_incompressible(velocity: Field,
     assert order <= 2 or len(obstacles) == 0, "obstacles require order=2"
     # --- explicit domain-decomposition path (parallel.decomposition active) ---
     # same public entry point from 1 chip to a full slice: ppermute halo rings +
-    # psum'd MG-CG instead of GSPMD auto-partitioning (SURVEY.md §2.7)
-    if not obstacles and active is None and order == 2 and velocity.is_staggered:
+    # psum'd CG instead of GSPMD auto-partitioning (SURVEY.md §2.7). Covers the
+    # plain, batched, stationary-obstacle (cavity) and free-surface/`active`
+    # (FLIP) cases; anything else falls back to GSPMD below.
+    if order == 2 and velocity.is_staggered:
         from ..parallel._context import current_decomposition
         dd = current_decomposition()
         if dd is not None:
             from ..parallel._shardmap import sharded_make_incompressible
-            result = sharded_make_incompressible(dd, velocity, solve)
+            result = sharded_make_incompressible(dd, velocity, solve,
+                                                 obstacles=obstacles, active=active)
             if result is not None:
                 return result
     input_velocity = velocity

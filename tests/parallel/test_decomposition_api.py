@@ -84,17 +84,101 @@ def test_warm_start_accepted():
             math.assert_close(c1, c2, abs_tolerance=1e-6)
 
 
-def test_fallback_on_obstacles():
-    """Problems outside the explicit path (obstacles) silently fall back to the
-    GSPMD solver — the public API never errors because a decomposition is active."""
+def test_obstacle_dispatch_matches_single():
+    """Stationary obstacles go through the explicit masked shard_map projection
+    (VERDICT r3 #6) — must match the single-device masked solve exactly."""
+    from phiflow_tpu.geom import Sphere
+    with math.precision(64):
+        n = 32
+        v = StaggeredGrid(Noise(vector='x,y'), extrapolation.ZERO, x=n, y=n, bounds=Box(x=float(n), y=float(n))) * 0.2
+        obstacle = fluid.Obstacle(Sphere(x=n / 2, y=n / 2, radius=n / 6))
+        solve = Solve('CG', 1e-10, 1e-10, max_iterations=5000, suppress=(math.ConvergenceException,))
+        v_ref, p_ref = fluid.make_incompressible(v, [obstacle], solve)
+        with parallel.decomposition(_mesh2d(), x='x', y='y'):
+            v_dd, p_dd = fluid.make_incompressible(v, [obstacle], solve)
+        for c1, c2 in zip(math.unstack(v_ref.values, '~vector'), math.unstack(v_dd.values, '~vector')):
+            math.assert_close(c1, c2, abs_tolerance=1e-5)
+
+
+def test_active_mask_dispatch_matches_single():
+    """Free-surface `active` masks (the FLIP projection) go through the
+    explicit masked shard_map path — Dirichlet rows on empty cells, no
+    closed-box balancing — and must match single-device."""
+    with math.precision(64):
+        n = 32
+        bounds = Box(x=float(n), y=float(n))
+        v = StaggeredGrid(Noise(vector='x,y'), 0., x=n, y=n, bounds=bounds) * 0.3
+        # liquid occupies the lower half (plus a NaN-guard band of emptiness)
+        y = math.meshgrid(x=n, y=n)['y']
+        active = CenteredGrid(0, v.boundary.spatial_gradient(), bounds, x=n, y=n) \
+            .with_values(math.to_float(y < n // 2))
+        solve = Solve('CG', 1e-10, 1e-10, max_iterations=5000, suppress=(math.ConvergenceException,))
+        v_ref, p_ref = fluid.make_incompressible(v, [], solve, active=active)
+        with parallel.decomposition(_mesh2d(), x='x', y='y'):
+            v_dd, p_dd = fluid.make_incompressible(v, [], solve, active=active)
+        math.assert_close(p_ref.values, p_dd.values, abs_tolerance=1e-6)
+        for c1, c2 in zip(math.unstack(v_ref.values, '~vector'), math.unstack(v_dd.values, '~vector')):
+            math.assert_close(c1, c2, abs_tolerance=1e-5)
+
+
+def test_batched_dispatch_matches_single():
+    """Batch dims compose with the spatial decomposition (vmap over shard_map)
+    instead of falling back (VERDICT r3 #6)."""
+    from phiflow_tpu.math import batch as batch_fn, stack, dual
+    with math.precision(64):
+        n = 16
+        bounds = Box(x=float(n), y=float(n))
+        comps = []
+        for d in ('x', 'y'):
+            parts = [StaggeredGrid(Noise(vector='x,y'), extrapolation.ZERO, x=n, y=n,
+                                   bounds=bounds).vector[d].values for _ in range(3)]
+            comps.append(stack(parts, batch_fn(b=3)))
+        template = StaggeredGrid(0., extrapolation.ZERO, x=n, y=n, bounds=bounds)
+        v = template.with_values(stack(comps, dual(vector=['x', 'y'])))
+        solve = Solve('CG', 1e-10, 1e-10, max_iterations=3000, suppress=(math.ConvergenceException,))
+        v_ref, p_ref = fluid.make_incompressible(v, (), solve)
+        with parallel.decomposition(_mesh2d(), x='x', y='y'):
+            v_dd, p_dd = fluid.make_incompressible(v, (), solve)
+        assert 'b' in v_dd.values.shape, v_dd.values.shape
+        for c1, c2 in zip(math.unstack(v_ref.values, '~vector'), math.unstack(v_dd.values, '~vector')):
+            math.assert_close(c1, c2, abs_tolerance=1e-5)
+
+
+def test_fallback_on_moving_obstacle():
+    """Problems outside the explicit path (moving obstacles: traced geometry)
+    silently fall back to the GSPMD solver — the public API never errors
+    because a decomposition is active."""
     from phiflow_tpu.geom import Sphere
     v = StaggeredGrid(Noise(vector='x,y'), extrapolation.ZERO, x=32, y=32, bounds=Box(x=1., y=1.))
-    obstacle = fluid.Obstacle(Sphere(x=0.5, y=0.5, radius=0.12))
+    obstacle = fluid.Obstacle(Sphere(x=0.5, y=0.5, radius=0.12), velocity=(0.1, 0.0))
     with parallel.decomposition(_mesh2d(), x='x', y='y'):
         v2, p = fluid.make_incompressible(v, [obstacle], Solve('CG', 1e-5, 1e-5, max_iterations=500,
                                                                suppress=(math.ConvergenceException,)))
     div = divergence(v2)
     assert np.isfinite(float(math.max(abs(div.values))))
+
+
+def test_flip_model_step_under_decomposition():
+    """The FLIP flagship step (free-surface projection with a TRACED active
+    mask) runs under an active decomposition inside jit and matches the
+    undecomposed step (VERDICT r3 #6: 'cavity and FLIP steps run under
+    parallel.decomposition')."""
+    from phiflow_tpu.models import FlipLiquid
+    model = FlipLiquid(resolution=16, dims=2, cg_tol=1e-6, max_iterations=2000)
+    state = model.initial_state()
+    step = jax.jit(lambda s: model.step(*s))
+    ref = state
+    for _ in range(3):
+        ref = step(ref)
+    with parallel.decomposition(_mesh2d(), x='x', y='y'):
+        step_dd = jax.jit(lambda s: model.step(*s))
+        dd = state
+        for _ in range(3):
+            dd = step_dd(dd)
+    pos_ref = np.asarray(ref[0].geometry.center.native(('points', 'vector')))
+    pos_dd = np.asarray(dd[0].geometry.center.native(('points', 'vector')))
+    assert np.isfinite(pos_dd).all()
+    np.testing.assert_allclose(pos_dd, pos_ref, atol=1e-3)
 
 
 def test_smoke_model_step_under_decomposition():
