@@ -39,17 +39,48 @@ def test_pressure_acceleration_repulsive():
     np.testing.assert_allclose(acc[0], -acc[1], rtol=1e-4)  # momentum conservation
 
 
-def test_dam_break_collapses():
+def _run_dam_break(n_steps: int):
+    """Run the dam break with a DIRECT retrace counter. The r3 full-suite
+    failure `step._cache_size() == 0` was NOT a recompile: `_cache_size()`
+    counts entries in the C++ pjit fastpath cache, which is populated only
+    when `jax._src.pjit._get_fastpath_data` accepts the dispatch — calls can
+    be served forever through the Python dispatch path's cached executable
+    (zero retraces, zero recompiles) while the fastpath entry count stays 0.
+    Counting traces measures the bug class we actually guard against."""
     model = SphDamBreak(nx=20, ny=40)
-    step = jax.jit(lambda s: model.step(*s))
+    traces = []
+
+    def fn(s):
+        traces.append(1)
+        return model.step(*s)
+
+    step = jax.jit(fn)
     state = model.initial_state()
-    for _ in range(3000):
+    for i in range(n_steps):
         state = step(state)
-    assert step._cache_size() == 1
+    print(f"[diag] after {n_steps} steps: cpp_cache_size={step._cache_size()} traces={len(traces)}",
+          flush=True)
+    assert len(traces) == 1, f"SPH step retraced: {len(traces)} traces over {n_steps} steps"
     pos = np.asarray(state[0].geometry.center.native(('points', 'vector')))
     assert np.isfinite(pos).all()
-    assert pos[:, 0].max() > 0.45, f"dam should spread right, reached {pos[:, 0].max():.3f}"
     assert pos.min() > -0.05 and pos.max() < 1.05
-    # column must have dropped: center of mass below the initial block center
+    return pos
+
+
+def test_dam_break_smoke():
+    """Default-tier dam break: 300 steps — stability, containment, single trace,
+    and the column must have started dropping."""
+    pos = _run_dam_break(300)
+    y0 = 0.05 + 40 * 0.008 / 2
+    assert pos[:, 1].mean() < y0, "column should start collapsing within 300 steps"
+
+
+@pytest.mark.slow
+def test_dam_break_collapses():
+    """Marathon (3000 steps, ~5 min CPU): full collapse physics — the dam
+    spreads along the floor and the center of mass drops below the initial
+    block center."""
+    pos = _run_dam_break(3000)
+    assert pos[:, 0].max() > 0.45, f"dam should spread right, reached {pos[:, 0].max():.3f}"
     y0 = 0.05 + 40 * 0.008 / 2
     assert pos[:, 1].mean() < y0
