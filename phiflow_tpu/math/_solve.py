@@ -341,7 +341,21 @@ def _lsub_mean(xs, nb: int):
     return [x - _lbc(m, x, nb) for x in xs]
 
 
-def _cg(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
+def _matvec_with_dot(A, p, nb: int, fused_dot: bool):
+    """Apply A and return (Ap, ⟨p, Ap⟩ or None). When `fused_dot` (the operator
+    is known homogeneous — A(p) = op(p) with no affine offset), arm the
+    ops.poisson capture so the fused stencil kernel emits the dot as an
+    epilogue instead of a separate full-field reduce (VERDICT r3 #1a)."""
+    if fused_dot and nb == 0 and len(p) == 1:
+        from ..ops import poisson as _poisson
+        box = {}
+        with _poisson.capture_matvec_dot(box, p[0].size):
+            Ap = A(p)
+        return Ap, box.get('dot')
+    return A(p), None
+
+
+def _cg(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0, fused_dot: bool = False):
     """Conjugate gradients on lists of (*batch, *rest) arrays; returns
     (x, res_norm, iters, converged). Runs on the natural array layouts — no
     flatten/concat relayouts in the loop body.
@@ -362,33 +376,39 @@ def _cg(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
     z = M(r) if M is not None else r
     p = z
     rz = _ldot(r, z, nb)
+    # carry r·r through the loop state: `cond` runs once per iteration check and
+    # the freeze test needs it again — recomputing burns 2 full HBM read passes
+    # per iteration at 512³ (the dot fuses into the r-update pass instead)
+    rr = _ldot(r, r, nb)
 
     def cond(state):
-        x, r, z, p, rz, it = state
-        return jnp.logical_and(it < max_iter, jnp.any(_ldot(r, r, nb) > tol_sq))
+        x, r, z, p, rz, rr, it = state
+        return jnp.logical_and(it < max_iter, jnp.any(rr > tol_sq))
 
     def body(state):
-        x, r, z, p, rz, it = state
-        Ap = A(p)
-        alpha = rz / safe_denom(_ldot(p, Ap, nb))
+        x, r, z, p, rz, rr, it = state
+        Ap, pap = _matvec_with_dot(A, p, nb, fused_dot)
+        alpha = rz / safe_denom(pap if pap is not None else _ldot(p, Ap, nb))
         # freeze converged systems: alpha→0 where already converged
-        active = (_ldot(r, r, nb) > tol_sq).astype(dtype)
+        active = (rr > tol_sq).astype(dtype)
         alpha = alpha * active
         x = _lcomb(x, alpha, p, nb)
         r = _lcomb(r, -alpha, Ap, nb)
+        rr_new = _ldot(r, r, nb)
         z_new = M(r) if M is not None else r
         rz_new = _ldot(r, z_new, nb)
         beta = rz_new / safe_denom(rz)
         p = _lcomb(z_new, beta, p, nb)
-        return x, r, z_new, p, rz_new, it + 1
+        return x, r, z_new, p, rz_new, rr_new, it + 1
 
-    x, r, z, p, rz, it = jax.lax.while_loop(cond, body, (x, r, z, p, rz, jnp.asarray(0, jnp.int32)))
-    res = jnp.sqrt(_ldot(r, r, nb))
-    converged = jnp.all(res ** 2 <= tol_sq)
+    x, r, z, p, rz, rr, it = jax.lax.while_loop(
+        cond, body, (x, r, z, p, rz, rr, jnp.asarray(0, jnp.int32)))
+    res = jnp.sqrt(rr)
+    converged = jnp.all(rr <= tol_sq)
     return x, res, it, converged
 
 
-def _cg_adaptive(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
+def _cg_adaptive(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0, fused_dot: bool = False):
     """Conjugate gradients with ADAPTIVE step size (phiml's 'CG-adaptive'):
     the step size is recomputed from the CURRENT residual every iteration
     (α = ⟨d, r⟩ / ⟨d, A·d⟩ instead of the rz/β recurrences) and the new search
@@ -409,28 +429,35 @@ def _cg_adaptive(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
     Ax = A(x)
     r = [bi - axi for bi, axi in zip(b, Ax)]
     d = M(r) if M is not None else r
-    Ad = A(d)
+    Ad, dAd = _matvec_with_dot(A, d, nb, fused_dot)
+    if dAd is None:
+        dAd = _ldot(d, Ad, nb)
+    rr = _ldot(r, r, nb)  # carried: see _cg
 
     def cond(state):
-        x, r, d, Ad, it = state
-        return jnp.logical_and(it < max_iter, jnp.any(_ldot(r, r, nb) > tol_sq))
+        x, r, d, Ad, dAd, rr, it = state
+        return jnp.logical_and(it < max_iter, jnp.any(rr > tol_sq))
 
     def body(state):
-        x, r, d, Ad, it = state
-        d_Ad = _ldot(d, Ad, nb)
+        x, r, d, Ad, d_Ad, rr, it = state
         alpha = _ldot(d, r, nb) / safe_denom(d_Ad)       # adaptive: from current r
-        active = (_ldot(r, r, nb) > tol_sq).astype(dtype)
+        active = (rr > tol_sq).astype(dtype)
         alpha = alpha * active
         x = _lcomb(x, alpha, d, nb)
         r = _lcomb(r, -alpha, Ad, nb)
+        rr_new = _ldot(r, r, nb)
         z = M(r) if M is not None else r
         beta = _ldot(z, Ad, nb) / safe_denom(d_Ad)       # re-conjugate vs A·d
         d = _lcomb(z, -beta, d, nb)
-        return x, r, d, A(d), it + 1
+        Ad_new, dAd_new = _matvec_with_dot(A, d, nb, fused_dot)
+        if dAd_new is None:
+            dAd_new = _ldot(d, Ad_new, nb)
+        return x, r, d, Ad_new, dAd_new, rr_new, it + 1
 
-    x, r, d, Ad, it = jax.lax.while_loop(cond, body, (x, r, d, Ad, jnp.asarray(0, jnp.int32)))
-    res = jnp.sqrt(_ldot(r, r, nb))
-    converged = jnp.all(res ** 2 <= tol_sq)
+    x, r, d, Ad, dAd, rr, it = jax.lax.while_loop(
+        cond, body, (x, r, d, Ad, dAd, rr, jnp.asarray(0, jnp.int32)))
+    res = jnp.sqrt(rr)
+    converged = jnp.all(rr <= tol_sq)
     return x, res, it, converged
 
 
@@ -453,13 +480,14 @@ def _bicgstab(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
     rho = alpha = omega = ones
     v = [jnp.zeros_like(ri) for ri in r]
     p = [jnp.zeros_like(ri) for ri in r]
+    rr = _ldot(r, r, nb)  # carried: see _cg
 
     def cond(state):
-        x, r, r_hat, rho, alpha, omega, v, p, it = state
-        return jnp.logical_and(it < max_iter, jnp.any(_ldot(r, r, nb) > tol_sq))
+        x, r, r_hat, rho, alpha, omega, v, p, rr, it = state
+        return jnp.logical_and(it < max_iter, jnp.any(rr > tol_sq))
 
     def body(state):
-        x, r, r_hat, rho, alpha, omega, v, p, it = state
+        x, r, r_hat, rho, alpha, omega, v, p, rr, it = state
         rho_new = _ldot(r_hat, r, nb)
         beta = (rho_new / safe_denom(rho)) * (alpha / safe_denom(omega))
         p = [ri + _lbc(beta, ri, nb) * (pi - _lbc(omega, ri, nb) * vi) for ri, pi, vi in zip(r, p, v)]
@@ -470,16 +498,18 @@ def _bicgstab(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
         sh = M(s) if M is not None else s
         t = A(sh)
         omega = _ldot(t, s, nb) / safe_denom(_ldot(t, t, nb))
-        active = (_ldot(r, r, nb) > tol_sq).astype(dtype)
+        active = (rr > tol_sq).astype(dtype)
         x = [xi + _lbc(active, xi, nb) * (_lbc(alpha, xi, nb) * phi + _lbc(omega, xi, nb) * shi)
              for xi, phi, shi in zip(x, ph, sh)]
         r = _lcomb(s, -omega, t, nb)
-        return x, r, r_hat, rho_new, alpha, omega, v, p, it + 1
+        rr_new = _ldot(r, r, nb)
+        return x, r, r_hat, rho_new, alpha, omega, v, p, rr_new, it + 1
 
-    state = (x, r, r_hat, rho, alpha, omega, v, p, jnp.asarray(0, jnp.int32))
-    x, r, *_, it = jax.lax.while_loop(cond, body, state)
-    res = jnp.sqrt(_ldot(r, r, nb))
-    converged = jnp.all(res ** 2 <= tol_sq)
+    state = (x, r, r_hat, rho, alpha, omega, v, p, rr, jnp.asarray(0, jnp.int32))
+    out = jax.lax.while_loop(cond, body, state)
+    x, r, rr, it = out[0], out[1], out[-2], out[-1]
+    res = jnp.sqrt(rr)
+    converged = jnp.all(rr <= tol_sq)
     return x, res, it, converged
 
 
@@ -515,13 +545,15 @@ def _bicgstab2(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
     omega = ones
     u0 = [jnp.zeros_like(ri) for ri in r0]
 
+    rr = _ldot(r0, r0, nb)  # carried: see _cg
+
     def cond(state):
-        x, r0, u0, rho, alpha, omega, it = state
-        return jnp.logical_and(it < max_iter, jnp.any(_ldot(r0, r0, nb) > tol_sq))
+        x, r0, u0, rho, alpha, omega, rr, it = state
+        return jnp.logical_and(it < max_iter, jnp.any(rr > tol_sq))
 
     def body(state):
-        x, r0, u0, rho, alpha, omega, it = state
-        active = (_ldot(r0, r0, nb) > tol_sq).astype(dtype)
+        x, r0, u0, rho, alpha, omega, rr, it = state
+        active = (rr > tol_sq).astype(dtype)
         rho = -omega * rho
         # --- even BiCG step (j = 0) ---
         rho1 = _ldot(r0, r_hat, nb)
@@ -560,12 +592,14 @@ def _bicgstab2(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
         r0 = _lcomb(_lcomb(r0, -g1, r1, nb), -g2, r2, nb)
         u0 = _lcomb(_lcomb(u0, -g1, u1, nb), -g2, u2, nb)
         omega = g2
-        return x, r0, u0, rho, alpha, omega, it + 2
+        rr_new = _ldot(r0, r0, nb)
+        return x, r0, u0, rho, alpha, omega, rr_new, it + 2
 
-    state = (x, r0, u0, rho, alpha, omega, jnp.asarray(0, jnp.int32))
-    x, r0, *_, it = jax.lax.while_loop(cond, body, state)
-    res = jnp.sqrt(_ldot(r0, r0, nb))
-    converged = jnp.all(res ** 2 <= tol_sq)
+    state = (x, r0, u0, rho, alpha, omega, rr, jnp.asarray(0, jnp.int32))
+    out = jax.lax.while_loop(cond, body, state)
+    x, r0, rr, it = out[0], out[1], out[-2], out[-1]
+    res = jnp.sqrt(rr)
+    converged = jnp.all(rr <= tol_sq)
     return x, res, it, converged
 
 
@@ -587,7 +621,8 @@ def _direct(A, b, x0, rank_deficiency=0):
 # solve_linear
 # ---------------------------------------------------------------------------
 
-def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict = None, **f_kwargs_additional):
+def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict = None,
+                 assume_homogeneous: bool = False, **f_kwargs_additional):
     """Solve ``f(x, *f_args) = y`` for x.
 
     `f` may be a `LinearFunction` (from `jit_compile_linear`), a plain linear
@@ -595,6 +630,11 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
     (reference: fluid.py:156, diffuse.py:90). Supports affine `f` (constant
     boundary offsets are subtracted automatically), preprocessing, rank-deficient
     (Neumann/periodic) systems, and implicit differentiation.
+
+    ``assume_homogeneous``: caller guarantees f(0) = 0 (no affine boundary
+    offsets). Skips the f(0) evaluation and enables the fused ⟨p, A·p⟩ kernel
+    epilogue in CG (the pressure projection sets this — its derived BCs are
+    periodic / zero-gradient / constant-0, all homogeneous).
     """
     f_kwargs = dict(f_kwargs or {})
     f_kwargs.update(f_kwargs_additional)
@@ -617,13 +657,19 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
     y_list = y_fmt.to_list(y)
     x0_list = fmt.to_list(x0)
     # --- affine offset: b0 = op(0) (constant boundary contributions) ---
-    zero_state = _rebuild_from_tensors(x0, [ops.zeros_like(t) for t in _tensor_leaves(x0)])
-    b0_list = y_fmt.to_list(op(zero_state))
-    rhs = [yi - bi for yi, bi in zip(y_list, b0_list)]
+    if assume_homogeneous:
+        rhs = y_list
 
-    def A(x_list):
-        fx = op(fmt.from_list(x_list))
-        return [fi - bi for fi, bi in zip(y_fmt.to_list(fx), b0_list)]
+        def A(x_list):
+            return y_fmt.to_list(op(fmt.from_list(x_list)))
+    else:
+        zero_state = _rebuild_from_tensors(x0, [ops.zeros_like(t) for t in _tensor_leaves(x0)])
+        b0_list = y_fmt.to_list(op(zero_state))
+        rhs = [yi - bi for yi, bi in zip(y_list, b0_list)]
+
+        def A(x_list):
+            fx = op(fmt.from_list(x_list))
+            return [fi - bi for fi, bi in zip(y_fmt.to_list(fx), b0_list)]
 
     rank_def = solve.rank_deficiency or 0
     if rank_def:
@@ -687,8 +733,9 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
                                             rank_deficiency=rank_def)
             x_list = _unflatten_to_list(x_flat, x0_list)
         else:
+            kw = {'fused_dot': True} if (assume_homogeneous and krylov in (_cg, _cg_adaptive)) else {}
             x_list, res, it, conv = krylov(matvec, b_list, x0_list, solve.rel_tol, solve.abs_tol,
-                                           solve.max_iterations, M=M_list, nb=nb)
+                                           solve.max_iterations, M=M_list, nb=nb, **kw)
         if rank_def:
             x_list = _lsub_mean(x_list, nb)
         it_box['iterations'] = it

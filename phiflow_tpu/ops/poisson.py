@@ -50,9 +50,40 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _TPU = False
 
-__all__ = ['poisson_apply', 'poisson_smooth', 'stage_masks', 'pallas_ok']
+__all__ = ['poisson_apply', 'poisson_smooth', 'stage_masks', 'pallas_ok',
+           'capture_matvec_dot']
 
 PERIODIC, NEUMANN, GHOST0 = 'periodic', 'neumann', 'ghost0'
+
+# --- fused p·A·p capture (CG epilogue fusion, VERDICT r3 #1a) ---------------
+# The CG denominator ⟨p, A·p⟩ re-reads both fields from HBM when computed as a
+# separate reduce (~3 ms/iteration at 512³). When a capture box is armed, the
+# 'matvec' kernel also emits per-tile partial sums of p·out and the summed
+# scalar is stashed in the box — the solver uses it instead of its own _ldot.
+# Only single-system (no leading batch) applies whose element count matches the
+# armed size stash, so preconditioner sub-solves at coarser levels never leak in.
+_DOT_CAPTURE: list = []
+
+
+class capture_matvec_dot:
+    """Context manager arming fused-dot capture for the NEXT top-level matvec.
+
+    with capture_matvec_dot(box, n_elems):
+        Ap = A(p)
+    pap = box.get('dot')   # None if no fused kernel engaged
+    """
+
+    def __init__(self, box: dict, n_elems: int):
+        self.box = box
+        self.n = int(n_elems)
+
+    def __enter__(self):
+        _DOT_CAPTURE.append((self.box, self.n))
+        return self.box
+
+    def __exit__(self, *exc):
+        _DOT_CAPTURE.pop()
+        return False
 
 
 def pallas_ok() -> bool:
@@ -222,7 +253,7 @@ def _pick_tile_xy(X, Y, Z, n_blocked, budget_bytes=22 * 1024 * 1024):
 
 
 def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_diag,
-                     interpret=False):
+                     interpret=False, with_dot=False):
     """p: (X, Y, Z) float32. Returns same shape. See module docstring.
 
     Layout: 2-D tile grid over (x, y) — y-tiling keeps tiles VMEM-sized at
@@ -289,7 +320,8 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
     def kernel(*refs):
         p_ref = refs[0]
         xlo_ref, xhi_ref, ylo_ref, yhi_ref = refs[n_b], refs[n_b + 1], refs[n_b + 2], refs[n_b + 3]
-        out_ref = refs[-1]
+        out_ref = refs[-2] if with_dot else refs[-1]
+        dot_ref = refs[-1] if with_dot else None
         pc = p_ref[:]
         pxm, pxp = shift_x(pc, xlo_ref, xhi_ref)
         pym, pyp = shift_y(pc, ylo_ref, yhi_ref)
@@ -355,6 +387,14 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
         if act_t is not None:
             out = jnp.where(act_t != 0, out, pc)
         out_ref[:] = out
+        if dot_ref is not None:
+            # per-tile partial of ⟨p, A·p⟩ in lane (0,0), zeros elsewhere —
+            # summing the partials grid then adds exact zeros (no reassociation
+            # noise beyond the per-tile reduce itself)
+            s = jnp.sum(pc * out)
+            row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            dot_ref[0, :, :] = jnp.where((row == 0) & (col == 0), s, jnp.float32(0))
 
     kwargs = {'memory_space': pltpu.VMEM} if _TPU and not interpret else {}
     tile_spec = pl.BlockSpec((TX, TY, Z), lambda i, j: (i, j, 0), **kwargs)
@@ -380,6 +420,19 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
         extra += [mA_list[0].astype(jnp.float32), mA_list[1].astype(jnp.float32)]
         in_specs += [xhi, yhi]  # mA_x(i·TX+TX), mA_y(j·TY+TY); clamped rows zeroed above
     cp = _compiler_params()
+    if with_dot:
+        dot_spec = pl.BlockSpec((1, 8, 128), lambda i, j: (i, j, 0), **kwargs)
+        out, partials = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(tile_spec, dot_spec),
+            out_shape=(jax.ShapeDtypeStruct((X, Y, Z), jnp.float32),
+                       jax.ShapeDtypeStruct((grid[0], grid[1] * 8, 128), jnp.float32)),
+            interpret=interpret,
+            **({'compiler_params': cp} if cp is not None and _TPU and not interpret else {}),
+        )(*(blocked + extra))
+        return out, jnp.sum(partials)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -672,6 +725,17 @@ def poisson_apply(p: jnp.ndarray, inv_dx2: Sequence[float], bc: Sequence[Tuple[s
             out = jax.lax.map(one, (p3, b3))
         else:
             b1 = b.reshape(spatial_shape) if b is not None else None
-            out = one((p3.reshape(spatial_shape), b1))
+            p1 = p3.reshape(spatial_shape)
+            if mode == 'matvec' and _DOT_CAPTURE and _DOT_CAPTURE[-1][1] == p1.size:
+                out, dot = _apply_pallas_3d(p1, inv_dx2, bc, m_list3, c03, act3, None,
+                                            mode, omega_over_diag, interpret=interpret,
+                                            with_dot=True)
+                _DOT_CAPTURE[-1][0]['dot'] = dot
+            else:
+                out = one((p1, b1))
         return out.reshape(p.shape)
-    return _apply_xla(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_diag)
+    out = _apply_xla(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_diag)
+    if mode == 'matvec' and _DOT_CAPTURE and _DOT_CAPTURE[-1][1] == p.size \
+            and all(s == 1 for s in p.shape[:-ndim]):
+        _DOT_CAPTURE[-1][0]['dot'] = jnp.sum(p * out)
+    return out

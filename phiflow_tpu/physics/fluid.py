@@ -182,8 +182,11 @@ def make_incompressible(velocity: Field,
     elif not callable(solve.preconditioner):
         solve = copy_with(solve, preconditioner=None)
     # --- linear solve for pressure ---
+    # assume_homogeneous: the derived pressure BCs are periodic / zero-gradient /
+    # constant-0 (see _pressure_extrapolation) and obstacle masks only multiply,
+    # so masked_laplace(0) = 0 exactly — enables the fused ⟨p, A·p⟩ CG epilogue
     pressure = solve_linear(masked_laplace, div, solve, input_velocity.boundary, hard_bcs, active,
-                            wide_stencil=wide_stencil, order=order)
+                            wide_stencil=wide_stencil, order=order, assume_homogeneous=True)
     # --- subtract pressure gradient ---
     grad_pressure = spatial_gradient(pressure, input_velocity.boundary, at=velocity.sampled_at, order=order)
     if hard_bcs is not None:

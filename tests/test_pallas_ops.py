@@ -219,3 +219,61 @@ def test_fused_advect_3d_matches_separate_phases():
     np.testing.assert_allclose(nat(s_new)[0], nat(s_old)[0], atol=2e-5)
     for a, b_ in zip(nat(v_new), nat(v_old)):
         np.testing.assert_allclose(a, b_, atol=2e-5)
+
+
+def test_capture_matvec_dot_fused_epilogue():
+    """The fused ⟨p, A·p⟩ kernel epilogue (capture_matvec_dot → matvec with_dot)
+    must equal sum(p * poisson_apply(p)) for unmasked and masked systems, with
+    forced 2-D tiling so the per-tile partial-sum layout is exercised."""
+    from phiflow_tpu.ops import poisson as P
+    orig = P._pick_tile_xy
+    P._pick_tile_xy = lambda X, Y, Z, n, budget_bytes=0: (4, 8)
+    try:
+        X, Y, Z = 16, 24, 128
+        p = jax.random.normal(jax.random.PRNGKey(5), (X, Y, Z), jnp.float32)
+        inv = (1.0, 0.7, 1.3)
+        for bcs in [(('neumann', 'neumann'),) * 3, (('periodic', 'periodic'),) * 3]:
+            for masked in (False, True):
+                if masked:
+                    masks = []
+                    for d in range(3):
+                        shape = [X, Y, Z]
+                        if bcs[d] != ('periodic', 'periodic'):
+                            shape[d] += 1
+                        masks.append((jax.random.uniform(jax.random.PRNGKey(20 + d), tuple(shape)) > 0.2)
+                                     .astype(jnp.float32))
+                    mA, c0 = P.stage_masks(masks, bcs, inv)
+                else:
+                    mA, c0 = None, None
+                ref_out = P._apply_xla(p, inv, bcs, mA, c0, None, None, 'matvec', None)
+                ref_dot = float(np.sum(np.asarray(ref_out, np.float64) * np.asarray(p, np.float64)))
+                box = {}
+                with P.capture_matvec_dot(box, p.size):
+                    got = P.poisson_apply(p, inv, bcs, mA_list=mA, c0=c0, interpret=True)
+                assert 'dot' in box, (bcs, masked)
+                assert float(jnp.max(jnp.abs(got - ref_out))) < 2e-5
+                scale = max(abs(ref_dot), 1.0)
+                assert abs(float(box['dot']) - ref_dot) / scale < 1e-5, (bcs, masked)
+    finally:
+        P._pick_tile_xy = orig
+
+
+def test_cg_fused_dot_solution_matches_unfused():
+    """solve_linear(assume_homogeneous=True) (fused-dot CG) must reproduce the
+    plain path on a periodic Poisson problem (XLA fallback capture on CPU)."""
+    from phiflow_tpu import math as pm
+    from phiflow_tpu.math import solve_linear, Solve, jit_compile_linear
+    from phiflow_tpu import field
+    from phiflow_tpu.geom import UniformGrid, Box
+
+    grid = UniformGrid(pm.spatial(x=16, y=16), bounds=Box(x=1.0, y=1.0))
+    rhs_np = np.random.RandomState(0).randn(16, 16).astype(np.float32)
+    rhs_np -= rhs_np.mean()
+    rhs = field.Field(grid, pm.wrap(rhs_np, pm.spatial('x,y')), 'periodic')
+
+    lap = jit_compile_linear(lambda f: field.laplace(f))
+    sol_plain = solve_linear(lap, rhs, Solve('CG', 1e-6, 1e-6, x0=rhs * 0, rank_deficiency=1))
+    sol_fused = solve_linear(lap, rhs, Solve('CG', 1e-6, 1e-6, x0=rhs * 0, rank_deficiency=1),
+                             assume_homogeneous=True)
+    diff = float(pm.max(abs(sol_plain.values - sol_fused.values)))
+    assert diff < 1e-5, diff
