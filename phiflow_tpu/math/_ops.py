@@ -187,6 +187,21 @@ def expand(value, *dims: Shape) -> Tensor:
 
 
 def rename_dims(value, dims: DimFilter, names) -> Tensor:
+    # retype form: rename_dims(x, spatial, batch) keeps names, changes dim type
+    # (reference: phiml rename_dims with a dim-type target, used by
+    # examples/optim/Learn_Potential.ipynb)
+    from . import _shape as _sh
+    _TYPE_CTORS = {_sh.batch: _sh.BATCH, _sh.spatial: _sh.SPATIAL, _sh.channel: _sh.CHANNEL,
+                   _sh.instance: _sh.INSTANCE, _sh.dual: _sh.DUAL}
+    if callable(names) and names in _TYPE_CTORS:
+        ty = _TYPE_CTORS[names]
+        if isinstance(value, Shape):
+            old = _resolve_filter(dims, value)
+            return Shape(tuple(d.as_type(ty) if d.name in old else d for d in value.dims))
+        value = wrap(value)
+        old = _resolve_filter(dims, value.shape)
+        by_name = {d.name: d for d in value.shape.dims}
+        return rename_dims(value, old, Shape(tuple(by_name[n].as_type(ty) for n in old)))
     if isinstance(value, Shape):
         old = _resolve_filter(dims, value)
         new = names if isinstance(names, Shape) else None
