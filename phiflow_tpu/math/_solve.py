@@ -524,6 +524,11 @@ def _bicgstab2(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
 
     Preconditioning is applied on the RIGHT (Â = A∘M): residuals stay in
     b-space, so the tolerance test is unchanged; x-updates go through M.
+    Because every preconditioner here is a LINEAR operator (Jacobi diagonal,
+    Chebyshev polynomial, zero-initial-guess V-cycle), the preconditioned
+    companions M·u, M·r are carried through the same recurrences instead of
+    recomputed — 4 M-applications per outer iteration (one per matvec, the
+    minimum) instead of 8 (ADVICE r4 fix).
     `it` counts matvecs/2 so reported iteration cost is comparable to
     one-matvec-per-iteration CG."""
     dtype = b[0].dtype
@@ -544,15 +549,17 @@ def _bicgstab2(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
     alpha = jnp.zeros_like(ones)
     omega = ones
     u0 = [jnp.zeros_like(ri) for ri in r0]
+    mr0 = Mfn(r0)        # companion M·r0, carried through the linear recurrences
+    mu0 = [jnp.zeros_like(ri) for ri in r0]  # companion M·u0
 
     rr = _ldot(r0, r0, nb)  # carried: see _cg
 
     def cond(state):
-        x, r0, u0, rho, alpha, omega, rr, it = state
+        x, r0, u0, mr0, mu0, rho, alpha, omega, rr, it = state
         return jnp.logical_and(it < max_iter, jnp.any(rr > tol_sq))
 
     def body(state):
-        x, r0, u0, rho, alpha, omega, rr, it = state
+        x, r0, u0, mr0, mu0, rho, alpha, omega, rr, it = state
         active = (rr > tol_sq).astype(dtype)
         rho = -omega * rho
         # --- even BiCG step (j = 0) ---
@@ -560,25 +567,35 @@ def _bicgstab2(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
         beta = alpha * rho1 / safe_denom(rho)
         rho = rho1
         u0 = _lcomb(r0, -beta, u0, nb)
-        u1 = A(Mfn(u0))
+        mu0 = _lcomb(mr0, -beta, mu0, nb)
+        u1 = A(mu0)
+        mu1 = Mfn(u1)
         alpha = rho / safe_denom(_ldot(u1, r_hat, nb))
         alpha = alpha * active
         r0 = _lcomb(r0, -alpha, u1, nb)
-        r1 = A(Mfn(r0))
-        x = _lcomb(x, alpha, Mfn(u0), nb)
+        mr0 = _lcomb(mr0, -alpha, mu1, nb)
+        r1 = A(mr0)
+        mr1 = Mfn(r1)
+        x = _lcomb(x, alpha, mu0, nb)
         # --- odd BiCG step (j = 1) ---
         rho1 = _ldot(r1, r_hat, nb)
         beta = alpha * rho1 / safe_denom(rho)
         rho = rho1
         u0 = _lcomb(r0, -beta, u0, nb)
+        mu0 = _lcomb(mr0, -beta, mu0, nb)
         u1 = _lcomb(r1, -beta, u1, nb)
-        u2 = A(Mfn(u1))
+        mu1 = _lcomb(mr1, -beta, mu1, nb)
+        u2 = A(mu1)
+        mu2 = Mfn(u2)
         alpha = rho / safe_denom(_ldot(u2, r_hat, nb))
         alpha = alpha * active
         r0 = _lcomb(r0, -alpha, u1, nb)
+        mr0 = _lcomb(mr0, -alpha, mu1, nb)
         r1 = _lcomb(r1, -alpha, u2, nb)
-        r2 = A(Mfn(r1))
-        x = _lcomb(x, alpha, Mfn(u0), nb)
+        mr1 = _lcomb(mr1, -alpha, mu2, nb)
+        r2 = A(mr1)
+        mr2 = Mfn(r2)
+        x = _lcomb(x, alpha, mu0, nb)
         # --- MR part: minimize ‖r0 − γ₁r1 − γ₂r2‖ (2×2 normal equations) ---
         s11 = _ldot(r1, r1, nb)
         s12 = _ldot(r1, r2, nb)
@@ -588,14 +605,16 @@ def _bicgstab2(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0):
         det = safe_denom(s11 * s22 - s12 * s12)
         g1 = (s22 * t1 - s12 * t2) / det * active
         g2 = (s11 * t2 - s12 * t1) / det * active
-        x = _lcomb(_lcomb(x, g1, Mfn(r0), nb), g2, Mfn(r1), nb)
+        x = _lcomb(_lcomb(x, g1, mr0, nb), g2, mr1, nb)
         r0 = _lcomb(_lcomb(r0, -g1, r1, nb), -g2, r2, nb)
+        mr0 = _lcomb(_lcomb(mr0, -g1, mr1, nb), -g2, mr2, nb)
         u0 = _lcomb(_lcomb(u0, -g1, u1, nb), -g2, u2, nb)
+        mu0 = _lcomb(_lcomb(mu0, -g1, mu1, nb), -g2, mu2, nb)
         omega = g2
         rr_new = _ldot(r0, r0, nb)
-        return x, r0, u0, rho, alpha, omega, rr_new, it + 2
+        return x, r0, u0, mr0, mu0, rho, alpha, omega, rr_new, it + 2
 
-    state = (x, r0, u0, rho, alpha, omega, rr, jnp.asarray(0, jnp.int32))
+    state = (x, r0, u0, mr0, mu0, rho, alpha, omega, rr, jnp.asarray(0, jnp.int32))
     out = jax.lax.while_loop(cond, body, state)
     x, r0, rr, it = out[0], out[1], out[-2], out[-1]
     res = jnp.sqrt(rr)

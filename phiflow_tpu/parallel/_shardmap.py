@@ -416,7 +416,7 @@ def sharded_make_incompressible(dd, velocity, solve, obstacles=(), active=None):
     if b_shape:
         # data parallelism composed with the spatial mesh: flatten batch dims
         # to one leading axis and vmap the shard_map body (VERDICT r3 #6)
-        specs_in = tuple(kit.in_spec for _ in range(ndim))
+        specs_in = tuple(kit.in_spec for _ in range(ndim + 1))  # faces + warm start
         specs_out = tuple(kit.in_spec for _ in range(ndim)) + (kit.in_spec, PartitionSpec())
         sharded = jax.shard_map(kit.project_blocks, mesh=mesh, in_specs=specs_in,
                                 out_specs=specs_out, check_vma=False)
@@ -427,7 +427,18 @@ def sharded_make_incompressible(dd, velocity, solve, obstacles=(), active=None):
             arr = comp.native(tuple(b_shape.names) + dims)
             comps[d] = arr.reshape((-1,) + arr.shape[len(b_shape.names):])
         arrays = _uniform_from_logical_batched(comps, template, dims)
-        results = batched(*[arrays[d] for d in dims])
+        n_b = arrays[dims[0]].shape[0]
+        dtype = arrays[dims[0]].dtype
+        # stage the pressure warm start per batch item (mirrors the unbatched
+        # branch below — an ADVICE r4 fix: dropping x0 restarted CG from zero)
+        if isinstance(solve.x0, Field) and solve.x0.values.shape.spatial:
+            x0_b = solve.x0.values.shape.batch
+            p0 = solve.x0.values.native(tuple(x0_b.names) + dims)
+            p0 = jnp.broadcast_to(p0.reshape((-1,) + p0.shape[len(x0_b.names):]),
+                                  (n_b,) + kit.res).astype(dtype)
+        else:
+            p0 = jnp.zeros((n_b,) + kit.res, dtype)
+        results = batched(*[arrays[d] for d in dims], p0)
         v_out = _staggered_from_uniform_batched({d: results[i] for i, d in enumerate(dims)},
                                                 template, b_shape)
         from ..math._shape import concat_shapes
@@ -481,8 +492,12 @@ def _sharded_masked_incompressible(dd, velocity, solve, obstacles, active):
     mesh, axes = dd.mesh, dd.axes
     solve = solve.with_defaults('solve')
     try:
-        kit = _make_kit(mesh, axes, f, rel_tol=solve.rel_tol, abs_tol=solve.abs_tol,
-                        max_iterations=solve.max_iterations)
+        # float()/int() inside the guard: a traced/Tensor-valued tolerance must
+        # fall back to GSPMD, not raise (ADVICE r4 — dispatch is always safe)
+        rel_tol, abs_tol = float(solve.rel_tol), float(solve.abs_tol)
+        max_iters = int(solve.max_iterations)
+        kit = _make_kit(mesh, axes, f, rel_tol=rel_tol, abs_tol=abs_tol,
+                        max_iterations=max_iters)
         staged = _stage_masked_system(kit, f, obstacles, active=active)
     except Exception:
         return None
@@ -495,7 +510,7 @@ def _sharded_masked_incompressible(dd, velocity, solve, obstacles, active):
     # stays closed → still singular); a free-surface mask adds Dirichlet rows
     balance = active is None and not f.boundary.is_flexible
     project_blocks = _masked_projection_body(
-        kit, float(solve.rel_tol), float(solve.abs_tol), int(solve.max_iterations),
+        kit, rel_tol, abs_tol, max_iters,
         balance=balance, nan_guard=active is not None, with_p0=True)
     n_in = 2 + 3 * ndim + 1  # active, c0, mA×d, hb×d, u×d, p0
     specs_in = tuple(kit.in_spec for _ in range(n_in))

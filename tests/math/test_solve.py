@@ -196,8 +196,6 @@ def test_bicgstab2_through_solve_linear_batched():
     """End-to-end 'biCG-stab(2)' via solve_linear with a batch dim: frozen
     convergence per batch entry, right preconditioning path unused."""
     with math.precision(64):
-        def op(x):
-            return 4 * x - 0.9 * math.shift_sum(x) if hasattr(math, 'shift_sum') else 4 * x
         # simple SPD-ish shifted operator via laplace on a periodic grid
         from phiflow_tpu.math import extrapolation as _ext
         def f(x):
