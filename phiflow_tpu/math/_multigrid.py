@@ -98,7 +98,8 @@ def _coarse_pinv(res: Tuple[int, ...], inv_dx2, bcs) -> np.ndarray:
 
 def make_poisson_vcycle(resolution: Tuple[int, ...], dx: Tuple[float, ...], bcs,
                         nu: int = 3, omega: float = 0.9, min_size: int = 4,
-                        max_direct: int = 512) -> Callable[[jnp.ndarray], jnp.ndarray]:
+                        max_direct: int = 512,
+                        dtype='auto') -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build ``vcycle(b) -> u ≈ A⁻¹ b`` for the Poisson operator on a uniform
     cell-centered grid. `b`, `u`: (batch, *resolution) float arrays.
 
@@ -108,9 +109,19 @@ def make_poisson_vcycle(resolution: Tuple[int, ...], dx: Tuple[float, ...], bcs,
     nu: pre- and post-smoothing damped-Jacobi sweeps per level (nu=3, ω=0.9
         measured fastest for the 256³ pressure solve on TPU v5e: 3 CG
         iterations at rel 1e-3 vs 6 with nu=2, ω=0.8).
+    dtype: storage precision of the V-cycle's internal level arrays. 'auto' →
+        bfloat16 on TPU for 3D grids (kernels compute in f32 registers; bf16
+        shares f32's exponent range so no under/overflow — halves the
+        preconditioner's HBM traffic, which bounds the pressure solve). The
+        CG outer iteration keeps f32 residuals, so solution accuracy is set by
+        the solve tolerance, not the preconditioner's storage precision.
     The coarsest level is solved exactly via a host-precomputed pseudo-inverse
     (≤ max_direct unknowns), or damped-Jacobi sweeps otherwise.
     """
+    from ..ops.poisson import pallas_ok
+    if dtype == 'auto':
+        dtype = jnp.bfloat16 if (pallas_ok() and len(resolution) == 3
+                                 and max(resolution) >= 64) else jnp.float32
     from ..ops.poisson import poisson_apply
     # --- build the static level hierarchy ---
     levels = []  # (resolution, inv_dx2)
@@ -129,28 +140,41 @@ def make_poisson_vcycle(resolution: Tuple[int, ...], dx: Tuple[float, ...], bcs,
 
     from ..ops.poisson import poisson_smooth
 
-    def smooth(u, b, inv_dx2, sweeps, skip_first=False):
+    def smooth(u, b, inv_dx2, sweeps, skip_first=False, out_dtype=None):
         # sweeps are pairwise-fused into two-sweep Pallas passes; with
         # skip_first (u == 0) the zero-start sweep u = w·b fuses in as well,
         # so e.g. ν=3 pre-smoothing is ONE kernel pass (ops/poisson.py).
         w = np.float32(omega / (-2.0 * sum(inv_dx2)))
         return poisson_smooth(u, b, inv_dx2, bcs, w, sweeps, zero_init=skip_first,
-                              fuse_pairs=True)
+                              fuse_pairs=True, out_dtype=out_dtype)
 
-    def vcycle_level(b, level: int):
+    from ..ops.poisson import residual_restrict
+    from ..ops.transfer import prolong_add
+
+    def vcycle_level(b, level: int, out_dtype):
+        # b keeps whatever dtype it arrived with (f32 CG residual at the fine
+        # level, bf16 restricted residuals below); level arrays u/e are stored
+        # in `dtype` and the final smooth writes `out_dtype` directly — every
+        # cast rides inside a kernel, no standalone cast passes.
         res_l, inv_dx2 = levels[level]
         if level + 1 == len(levels):
             if coarse_inv is not None:
-                flat = b.reshape(b.shape[0], -1)
-                return jnp.einsum('ij,bj->bi', coarse_inv, flat).reshape(b.shape)
-            return smooth(jnp.zeros_like(b), b, inv_dx2, 24, skip_first=True)
-        u = smooth(jnp.zeros_like(b), b, inv_dx2, nu, skip_first=True)
-        r = poisson_apply(u, inv_dx2, bcs, b=b, mode='residual')
-        e = _prolong(vcycle_level(_restrict(r), level + 1))
-        u = u + e
-        return smooth(u, b, inv_dx2, nu)
+                flat = b.reshape(b.shape[0], -1).astype(jnp.float32)
+                e = jnp.einsum('ij,bj->bi', coarse_inv, flat).reshape(b.shape)
+                return e.astype(out_dtype)
+            return smooth(None, b, inv_dx2, 24, skip_first=True, out_dtype=out_dtype)
+        u = smooth(None, b, inv_dx2, nu, skip_first=True, out_dtype=dtype)
+        # downward transfer: restrict(b − A·u) fused into one pass — the fine
+        # residual is never materialized in HBM (ops/poisson.residual_restrict)
+        rc = residual_restrict(u, b, inv_dx2, bcs)
+        e = vcycle_level(rc, level + 1, dtype)
+        # upward transfer: u += prolong(e) fused (ops/transfer.prolong_add)
+        if e.dtype != u.dtype:
+            e = e.astype(u.dtype)
+        u = prolong_add(e, u, len(res_l))
+        return smooth(u, b, inv_dx2, nu, out_dtype=out_dtype)
 
     def vcycle(b: jnp.ndarray) -> jnp.ndarray:
-        return vcycle_level(b, 0)
+        return vcycle_level(b, 0, b.dtype)
 
     return vcycle

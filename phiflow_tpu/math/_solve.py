@@ -355,6 +355,19 @@ def _matvec_with_dot(A, p, nb: int, fused_dot: bool):
     return A(p), None
 
 
+def _precond_with_dot(M, r, nb: int, fused_dot: bool):
+    """Apply M and return (z, ⟨r, z⟩ or None). When `fused_dot`, arm the
+    ops.poisson smooth-dot capture so the V-cycle's final post-smooth kernel
+    emits ⟨z, r⟩ as an epilogue instead of a separate 2-pass reduce."""
+    if fused_dot and nb == 0 and len(r) == 1:
+        from ..ops import poisson as _poisson
+        box = {}
+        with _poisson.capture_smooth_dot(box, r[0].size):
+            z = M(r)
+        return z, box.get('dot')
+    return M(r), None
+
+
 def _cg(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0, fused_dot: bool = False):
     """Conjugate gradients on lists of (*batch, *rest) arrays; returns
     (x, res_norm, iters, converged). Runs on the natural array layouts — no
@@ -373,9 +386,12 @@ def _cg(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0, fused_dot: bool = F
     x = x0
     Ax = A(x)
     r = [bi - axi for bi, axi in zip(b, Ax)]
-    z = M(r) if M is not None else r
+    if M is not None:
+        z, rz0 = _precond_with_dot(M, r, nb, fused_dot)
+    else:
+        z, rz0 = r, None
     p = z
-    rz = _ldot(r, z, nb)
+    rz = rz0 if rz0 is not None else _ldot(r, z, nb)
     # carry r·r through the loop state: `cond` runs once per iteration check and
     # the freeze test needs it again — recomputing burns 2 full HBM read passes
     # per iteration at 512³ (the dot fuses into the r-update pass instead)
@@ -395,8 +411,11 @@ def _cg(A, b, x0, rtol, atol, max_iter, M=None, nb: int = 0, fused_dot: bool = F
         x = _lcomb(x, alpha, p, nb)
         r = _lcomb(r, -alpha, Ap, nb)
         rr_new = _ldot(r, r, nb)
-        z_new = M(r) if M is not None else r
-        rz_new = _ldot(r, z_new, nb)
+        if M is not None:
+            z_new, rz_f = _precond_with_dot(M, r, nb, fused_dot)
+        else:
+            z_new, rz_f = r, None
+        rz_new = rz_f if rz_f is not None else _ldot(r, z_new, nb)
         beta = rz_new / safe_denom(rz)
         p = _lcomb(z_new, beta, p, nb)
         return x, r, z_new, p, rz_new, rr_new, it + 1

@@ -51,7 +51,7 @@ except ImportError:  # pragma: no cover
     _TPU = False
 
 __all__ = ['poisson_apply', 'poisson_smooth', 'stage_masks', 'pallas_ok',
-           'capture_matvec_dot']
+           'capture_matvec_dot', 'capture_smooth_dot', 'residual_restrict']
 
 PERIODIC, NEUMANN, GHOST0 = 'periodic', 'neumann', 'ghost0'
 
@@ -63,6 +63,35 @@ PERIODIC, NEUMANN, GHOST0 = 'periodic', 'neumann', 'ghost0'
 # Only single-system (no leading batch) applies whose element count matches the
 # armed size stash, so preconditioner sub-solves at coarser levels never leak in.
 _DOT_CAPTURE: list = []
+
+# --- fused <z, r> capture (preconditioner-dot epilogue) ---------------------
+# CG's rz = <r, M(r)> re-reads both fields (~1.5 ms/iteration at 512³). When a
+# box is armed, the V-cycle's FINAL fine-level post-smooth kernel (the last
+# same-size non-zero-init fused triple) also emits per-tile partials of
+# u_out·b — and b at that point IS r, so the summed scalar equals <z, r>.
+_SMOOTH_DOT_CAPTURE: list = []
+
+
+class capture_smooth_dot:
+    """Arm fused <z, r> capture for the next top-level preconditioner apply.
+
+    with capture_smooth_dot(box, n_elems):
+        z = M(r)
+    rz = box.get('dot')   # None if no fused kernel engaged
+    """
+
+    def __init__(self, box: dict, n_elems: int):
+        self.box = box
+        self.n = int(n_elems)
+
+    def __enter__(self):
+        _SMOOTH_DOT_CAPTURE.append((self.box, self.n))
+        return self.box
+
+    def __exit__(self, *exc):
+        _SMOOTH_DOT_CAPTURE.pop()
+        return False
+
 
 
 class capture_matvec_dot:
@@ -294,10 +323,11 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
             return jnp.roll(a, shift, axis)
 
     def shift_x(pc, lo_ref, hi_ref):
+        lo, hi = lo_ref[:].astype(jnp.float32), hi_ref[:].astype(jnp.float32)
         if TX > 1:
-            return (jnp.concatenate([lo_ref[:], pc[:TX - 1]], axis=0),
-                    jnp.concatenate([pc[1:], hi_ref[:]], axis=0))
-        return lo_ref[:], hi_ref[:]
+            return (jnp.concatenate([lo, pc[:TX - 1]], axis=0),
+                    jnp.concatenate([pc[1:], hi], axis=0))
+        return lo, hi
 
     def _y_edges():
         ly = jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
@@ -313,8 +343,8 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
         if TY >= Y:
             return roll(pc, 1, 1), roll(pc, -1, 1)
         y_first, y_last = _y_edges()
-        ym = jnp.where(y_first, lo_ref[:, 7:8], roll(pc, 1, 1))
-        yp = jnp.where(y_last, hi_ref[:, 0:1], roll(pc, -1, 1))
+        ym = jnp.where(y_first, lo_ref[:, 7:8].astype(jnp.float32), roll(pc, 1, 1))
+        yp = jnp.where(y_last, hi_ref[:, 0:1].astype(jnp.float32), roll(pc, -1, 1))
         return ym, yp
 
     def kernel(*refs):
@@ -322,7 +352,7 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
         xlo_ref, xhi_ref, ylo_ref, yhi_ref = refs[n_b], refs[n_b + 1], refs[n_b + 2], refs[n_b + 3]
         out_ref = refs[-2] if with_dot else refs[-1]
         dot_ref = refs[-1] if with_dot else None
-        pc = p_ref[:]
+        pc = p_ref[:].astype(jnp.float32)
         pxm, pxp = shift_x(pc, xlo_ref, xhi_ref)
         pym, pyp = shift_y(pc, ylo_ref, yhi_ref)
         pzm = roll(pc, 1, 2)
@@ -381,12 +411,12 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
         if mode == 'matvec':
             out = lap
         elif mode == 'residual':
-            out = refs[k][:] - lap
+            out = refs[k][:].astype(jnp.float32) - lap
         else:  # jacobi
-            out = pc + w_over_diag * (refs[k][:] - lap)
+            out = pc + w_over_diag * (refs[k][:].astype(jnp.float32) - lap)
         if act_t is not None:
             out = jnp.where(act_t != 0, out, pc)
-        out_ref[:] = out
+        out_ref[:] = out.astype(out_ref.dtype)
         if dot_ref is not None:
             # per-tile partial of ⟨p, A·p⟩ in lane (0,0), zeros elsewhere —
             # summing the partials grid then adds exact zeros (no reassociation
@@ -427,7 +457,7 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
             grid=grid,
             in_specs=in_specs,
             out_specs=(tile_spec, dot_spec),
-            out_shape=(jax.ShapeDtypeStruct((X, Y, Z), jnp.float32),
+            out_shape=(jax.ShapeDtypeStruct((X, Y, Z), p.dtype),
                        jax.ShapeDtypeStruct((grid[0], grid[1] * 8, 128), jnp.float32)),
             interpret=interpret,
             **({'compiler_params': cp} if cp is not None and _TPU and not interpret else {}),
@@ -438,10 +468,181 @@ def _apply_pallas_3d(p, inv_dx2, bc, mA_list, c0, active, b, mode, omega_over_di
         grid=grid,
         in_specs=in_specs,
         out_specs=tile_spec,
-        out_shape=jax.ShapeDtypeStruct((X, Y, Z), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((X, Y, Z), p.dtype),
         interpret=interpret,
         **({'compiler_params': cp} if cp is not None and _TPU and not interpret else {}),
     )(*(blocked + extra))
+
+
+# ---------------------------------------------------------------------------
+# fused residual + 2× restriction — the V-cycle's downward transfer
+# ---------------------------------------------------------------------------
+
+def _pick_tile_rr(X, Y, Z, budget_bytes=22 * 1024 * 1024):
+    """(TX, TY) for the residual+restrict kernel: TX even, TY a multiple of 16
+    (coarse blocks need TX/2 rows, TY/2 in 8-groups). Minimizes halo re-reads."""
+    best = None
+    best_cost = None
+    for tx in [t for t in range(2, X + 1, 2) if X % t == 0]:
+        for ty in [t for t in range(16, Y + 1, 16) if Y % t == 0]:
+            blk = tx * ty * Z
+            halos = 2 * (ty + tx) * Z
+            elems = 2 * (2 * blk + blk // 8) + 2 * 2 * halos + 6 * blk
+            if elems * 4 > budget_bytes:
+                continue
+            cost = (X // tx) * (Y // ty) * (blk + halos)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (tx, ty), cost
+    return best
+
+
+def _pairing_arr(n: int) -> np.ndarray:
+    R = np.zeros((n, n // 2), np.float32)
+    i = np.arange(n // 2)
+    R[2 * i, i] = 1.0
+    R[2 * i + 1, i] = 1.0
+    return R
+
+
+def _residual_restrict_pallas_3d(u, b, inv_dx2, bc, interpret=False):
+    """restrict(b − A·u) in ONE pass: read u (+halos) and b, write only the
+    2×-coarser mean-pooled residual — the fine residual never touches HBM.
+    Unmasked operator only (the MG preconditioner's case). Returns None when
+    shapes/VMEM don't permit (caller falls back to residual → restrict_mean).
+
+    In-kernel pooling: x-pairs by a leading-axis reshape (layout-free), z-pairs
+    (lanes) as an MXU matmul against the 0/1 pairing matrix at HIGHEST
+    precision (exact — the products are x·1), y-pairs by transposing the last
+    two axes in VMEM and pairing via a second matmul."""
+    X, Y, Z = u.shape
+    if X % 2 or Y % 16 or Z % 256:
+        return None
+    picked = _pick_tile_rr(X, Y, Z)
+    if picked is None:
+        return None
+    TX, TY = picked
+    grid = (X // TX, Y // TY)
+    inv_x, inv_y, inv_z = (np.float32(v) for v in inv_dx2)
+    x_per = bc[0] == (PERIODIC, PERIODIC)
+    y_per = bc[1] == (PERIODIC, PERIODIC)
+    Rz = jnp.asarray(_pairing_arr(Z))
+    Ry = jnp.asarray(_pairing_arr(TY))
+    # bf16 storage: the pooled sums get rounded to bf16 at the store anyway, so
+    # single-pass bf16 MXU pooling loses nothing; f32 needs HIGHEST for exactness
+    HI = jax.lax.Precision.DEFAULT if u.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+    if _TPU and not interpret:
+        def roll(a, shift, axis):
+            return pltpu.roll(a, shift % a.shape[axis], axis)
+    else:
+        def roll(a, shift, axis):
+            return jnp.roll(a, shift, axis)
+
+    def kernel(u_ref, b_ref, xlo_ref, xhi_ref, ylo_ref, yhi_ref, rz_ref, ry_ref, out_ref):
+        pc = u_ref[:].astype(jnp.float32)
+        xlo, xhi = xlo_ref[:].astype(jnp.float32), xhi_ref[:].astype(jnp.float32)
+        if TX > 1:
+            pxm = jnp.concatenate([xlo, pc[:TX - 1]], axis=0)
+            pxp = jnp.concatenate([pc[1:], xhi], axis=0)
+        else:
+            pxm, pxp = xlo, xhi
+        if TY >= Y:
+            pym, pyp = roll(pc, 1, 1), roll(pc, -1, 1)
+        else:
+            ly = jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
+            pym = jnp.where(ly == 0, ylo_ref[:, 7:8].astype(jnp.float32), roll(pc, 1, 1))
+            pyp = jnp.where(ly == TY - 1, yhi_ref[:, 0:1].astype(jnp.float32), roll(pc, -1, 1))
+        pzm = roll(pc, 1, 2)
+        pzp = roll(pc, -1, 2)
+
+        def prof(g, n, lo_mode, hi_mode):
+            if (lo_mode, hi_mode) == (PERIODIC, PERIODIC):
+                return jnp.float32(1.), jnp.float32(1.), jnp.float32(-2.)
+            one, zero = jnp.float32(1.), jnp.float32(0.)
+            am = jnp.where(g > 0, one, one if lo_mode == PERIODIC else zero)
+            ap = jnp.where(g < n - 1, one, one if hi_mode == PERIODIC else zero)
+            c0d = jnp.full_like(am, -2.)
+            if lo_mode != PERIODIC:
+                c0d = jnp.where(g == 0, np.float32(-(1. + (1. if lo_mode == GHOST0 else 0.))), c0d)
+            if hi_mode != PERIODIC:
+                c0d = jnp.where(g == n - 1, np.float32(-(1. + (1. if hi_mode == GHOST0 else 0.))), c0d)
+            return am, ap, c0d
+        gx = pl.program_id(0) * TX + jax.lax.broadcasted_iota(jnp.int32, (TX, 1, 1), 0)
+        gy = pl.program_id(1) * TY + jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
+        axm, axp, c0x = prof(gx, X, *bc[0])
+        aym, ayp, c0y = prof(gy, Y, *bc[1])
+        azm, azp, c0z = prof(jax.lax.broadcasted_iota(jnp.int32, (1, 1, Z), 2), Z, *bc[2])
+        lap = inv_x * (axm * pxm + axp * pxp + c0x * pc) \
+            + inv_y * (aym * pym + ayp * pyp + c0y * pc) \
+            + inv_z * (azm * pzm + azp * pzp + c0z * pc)
+        r = b_ref[:].astype(jnp.float32) - lap
+        # 2×2×2 mean pool: x by leading reshape, z by MXU pairing, y by
+        # transpose + MXU pairing (lane/sublane interleaves are layout-hostile)
+        r4 = r.reshape(TX // 2, 2, TY, Z)
+        rx = r4[:, 0] + r4[:, 1]
+        rz = jax.lax.dot_general(rx, rz_ref[:], (((2,), (0,)), ((), ())),
+                                 precision=HI, preferred_element_type=jnp.float32)
+        rt = jnp.swapaxes(rz, 1, 2)                       # (TX/2, Z/2, TY)
+        ry = jax.lax.dot_general(rt, ry_ref[:], (((2,), (0,)), ((), ())),
+                                 precision=HI, preferred_element_type=jnp.float32)
+        out_ref[:] = (jnp.swapaxes(ry, 1, 2) * jnp.float32(0.125)).astype(out_ref.dtype)
+
+    kwargs = {'memory_space': pltpu.VMEM} if _TPU and not interpret else {}
+    tile_spec = pl.BlockSpec((TX, TY, Z), lambda i, j: (i, j, 0), **kwargs)
+    if x_per:
+        xlo = pl.BlockSpec((1, TY, Z), lambda i, j: ((i * TX - 1) % X, j, 0), **kwargs)
+        xhi = pl.BlockSpec((1, TY, Z), lambda i, j: ((i * TX + TX) % X, j, 0), **kwargs)
+    else:
+        xlo = pl.BlockSpec((1, TY, Z), lambda i, j: (jnp.maximum(i * TX - 1, 0), j, 0), **kwargs)
+        xhi = pl.BlockSpec((1, TY, Z), lambda i, j: (jnp.minimum(i * TX + TX, X - 1), j, 0), **kwargs)
+    if y_per:
+        ylo = pl.BlockSpec((TX, 8, Z), lambda i, j: (i, ((j * TY - 1) % Y) // 8, 0), **kwargs)
+        yhi = pl.BlockSpec((TX, 8, Z), lambda i, j: (i, ((j * TY + TY) % Y) // 8, 0), **kwargs)
+    else:
+        ylo = pl.BlockSpec((TX, 8, Z), lambda i, j: (i, jnp.maximum(j * TY - 1, 0) // 8, 0), **kwargs)
+        yhi = pl.BlockSpec((TX, 8, Z), lambda i, j: (i, jnp.minimum(j * TY + TY, Y - 1) // 8, 0), **kwargs)
+    rz_spec = pl.BlockSpec((Z, Z // 2), lambda i, j: (0, 0), **kwargs)
+    ry_spec = pl.BlockSpec((TY, TY // 2), lambda i, j: (0, 0), **kwargs)
+    out_spec = pl.BlockSpec((TX // 2, TY // 2, Z // 2), lambda i, j: (i, j, 0), **kwargs)
+    cp = _compiler_params()
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tile_spec, tile_spec, xlo, xhi, ylo, yhi, rz_spec, ry_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((X // 2, Y // 2, Z // 2), u.dtype),
+        interpret=interpret,
+        **({'compiler_params': cp} if cp is not None and _TPU and not interpret else {}),
+    )(u, b, u, u, u, u, Rz, Ry)
+
+
+def residual_restrict(u: jnp.ndarray, b: jnp.ndarray, inv_dx2: Sequence[float],
+                      bc: Sequence[Tuple[str, str]],
+                      use_pallas: Optional[bool] = None,
+                      interpret: bool = False) -> jnp.ndarray:
+    """restrict_mean(b − A·u) over the trailing len(bc) spatial axes, fused into
+    one HBM pass on TPU when shapes permit. u, b: (*lead, *spatial)."""
+    from .transfer import restrict_mean
+    ndim = len(bc)
+    if use_pallas is None:
+        use_pallas = pallas_ok() or interpret
+    if use_pallas and ndim == 3 and u.dtype in (jnp.float32, jnp.bfloat16):
+        spatial = u.shape[-3:]
+        u3 = u.reshape((-1,) + spatial)
+        b3 = b.reshape((-1,) + spatial)
+        if _pick_tile_rr(*spatial) is not None and spatial[0] % 2 == 0 \
+                and spatial[1] % 16 == 0 and spatial[2] % 256 == 0:
+            def one(uu, bb):
+                return _residual_restrict_pallas_3d(uu, bb, inv_dx2, bc, interpret=interpret)
+            if u3.shape[0] > 1:
+                out = jax.lax.map(lambda xs: one(*xs), (u3, b3))
+            else:
+                out = one(u3[0], b3[0])
+            coarse = tuple(s // 2 for s in spatial)
+            return out.reshape(u.shape[:-3] + coarse)
+    r = poisson_apply(u, inv_dx2, bc, b=b, mode='residual', use_pallas=use_pallas,
+                      interpret=interpret)
+    return restrict_mean(r, ndim)
 
 
 # ---------------------------------------------------------------------------
@@ -467,7 +668,8 @@ def _pick_tile_jacobi2(X, Y, Z, n_arrays, hx=2, budget_bytes=22 * 1024 * 1024):
     return best
 
 
-def _jacobi2_pallas_3d(p, b, inv_dx2, bc, w, zero_init, sweeps: int = 2, interpret=False):
+def _jacobi2_pallas_3d(p, b, inv_dx2, bc, w, zero_init, sweeps: int = 2, interpret=False,
+                       out_dtype=None, emit_dot=False):
     """``sweeps`` (2 or 3) fused damped-Jacobi sweeps in ONE HBM pass (with
     ``zero_init`` the implicit u₀ = w·b sweep makes it one more).
 
@@ -546,13 +748,14 @@ def _jacobi2_pallas_3d(p, b, inv_dx2, bc, w, zero_init, sweeps: int = 2, interpr
         return uc + w * (b_ext - lap)
 
     def kernel(*refs):
-        out_ref = refs[-1]
+        out_ref = refs[-2] if emit_dot else refs[-1]
+        dot_ref = refs[-1] if emit_dot else None
         if zero_init:
-            b_ext2 = assemble(*refs[:9])
+            b_ext2 = assemble(*refs[:9]).astype(jnp.float32)
             u_ext2 = w * b_ext2                       # u₀ = w·b (zero-start sweep)
         else:
-            u_ext2 = assemble(*refs[:9])
-            b_ext2 = assemble(*refs[9:18])
+            u_ext2 = assemble(*refs[:9]).astype(jnp.float32)
+            b_ext2 = assemble(*refs[9:18]).astype(jnp.float32)
         # global coords of the extended region (x rows −hx…TX+hx−1, y −8…TY+7)
         gx_e = (pl.program_id(0) * TX - hx) + jax.lax.broadcasted_iota(jnp.int32, (TX + 2 * hx, 1, 1), 0)
         gy_e = (pl.program_id(1) * TY - 8) + jax.lax.broadcasted_iota(jnp.int32, (1, TY + 16, 1), 1)
@@ -587,7 +790,15 @@ def _jacobi2_pallas_3d(p, b, inv_dx2, bc, w, zero_init, sweeps: int = 2, interpr
             rx, ry = anchor_x - e, anchor_y - e  # region origin in u's coords
             u = sweep(u, b_r, crop((px, py, pz), bx, by, sx, sy), rx, ry, (sx, sy))
             anchor_x = anchor_y = e    # u now covers tile ± e; tile origin at (e, e)
-        out_ref[:] = u
+        out_ref[:] = u.astype(out_ref.dtype)
+        if dot_ref is not None:
+            # per-tile partial of <u_out, b> in lane (0,0) — summing the grid
+            # of partials then adds exact zeros (see matvec dot epilogue)
+            b_core = b_ext2[hx:hx + TX, 8:8 + TY]
+            sdot = jnp.sum(u * b_core)
+            row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            dot_ref[0, :, :] = jnp.where((row == 0) & (col == 0), sdot, jnp.float32(0))
 
     kwargs = {'memory_space': pltpu.VMEM} if _TPU and not interpret else {}
     tile_spec = pl.BlockSpec((TX, TY, Z), lambda i, j: (i, j, 0), **kwargs)
@@ -614,14 +825,28 @@ def _jacobi2_pallas_3d(p, b, inv_dx2, bc, w, zero_init, sweeps: int = 2, interpr
         inputs = [p] * 9 + [b] * 9
         in_specs = group + group
     cp = _compiler_params()
+    cp_kw = {'compiler_params': cp} if cp is not None and _TPU and not interpret else {}
+    if emit_dot:
+        dot_spec = pl.BlockSpec((1, 8, 128), lambda i, j: (i, j, 0), **kwargs)
+        out, partials = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(tile_spec, dot_spec),
+            out_shape=(jax.ShapeDtypeStruct((X, Y, Z), out_dtype or b.dtype),
+                       jax.ShapeDtypeStruct((grid[0], grid[1] * 8, 128), jnp.float32)),
+            interpret=interpret,
+            **cp_kw,
+        )(*inputs)
+        return out, jnp.sum(partials)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=tile_spec,
-        out_shape=jax.ShapeDtypeStruct((X, Y, Z), b.dtype),
+        out_shape=jax.ShapeDtypeStruct((X, Y, Z), out_dtype or b.dtype),
         interpret=interpret,
-        **({'compiler_params': cp} if cp is not None and _TPU and not interpret else {}),
+        **cp_kw,
     )(*inputs)
 
 
@@ -629,7 +854,8 @@ def poisson_smooth(u: Optional[jnp.ndarray], b: jnp.ndarray,
                    inv_dx2: Sequence[float], bc: Sequence[Tuple[str, str]],
                    omega_over_diag: float, sweeps: int, zero_init: bool = False,
                    fuse_pairs: bool = False,
-                   use_pallas: Optional[bool] = None, interpret: bool = False) -> jnp.ndarray:
+                   use_pallas: Optional[bool] = None, interpret: bool = False,
+                   out_dtype=None) -> jnp.ndarray:
     """``sweeps`` damped-Jacobi sweeps of the unmasked Poisson operator.
     ``zero_init`` starts from u = 0 (u may be None); when VMEM permits, the
     zero-start triple u₀ = w·b → J → J fuses into ONE Pallas pass reading only
@@ -638,12 +864,15 @@ def poisson_smooth(u: Optional[jnp.ndarray], b: jnp.ndarray,
     to slightly slower inside large jits (the 2-row tiles the pair kernel
     needs at ≥256² planes amplify halo traffic), so off by default.
     Semantics match looping `poisson_apply(mode='jacobi')` exactly (same
-    scalar ω/diag)."""
+    scalar ω/diag). ``out_dtype`` sets the result's storage dtype (compute is
+    f32 in-register in the fused kernels regardless) — mixed u/b dtypes are
+    allowed, letting the MG V-cycle keep f32 CG residuals while storing level
+    arrays in bfloat16 with no explicit cast passes."""
     w = omega_over_diag
     ndim = len(bc)
     if use_pallas is None:
         use_pallas = pallas_ok() or interpret
-    fused_ok = (use_pallas and ndim == 3 and b.dtype == jnp.float32
+    fused_ok = (use_pallas and ndim == 3 and b.dtype in (jnp.float32, jnp.bfloat16)
                 and min(b.shape[-3:]) >= 8 and b.shape[-1] % 128 == 0
                 and b.shape[-2] % 8 == 0)
 
@@ -662,15 +891,29 @@ def poisson_smooth(u: Optional[jnp.ndarray], b: jnp.ndarray,
     remaining = sweeps
     if zero_init:
         if fused_ok and remaining >= 3:
+            dt = (out_dtype if remaining == 3 else None) or b.dtype
             u = batched(lambda bb: _jacobi2_pallas_3d(None, bb, inv_dx2, bc, w, True,
-                                                      interpret=interpret), b)
+                                                      interpret=interpret, out_dtype=dt), b)
             remaining -= 3
         else:
-            u = np.float32(w) * b if b.dtype == jnp.float32 else w * b
+            u = jnp.asarray(w, b.dtype) * b
             remaining -= 1
     while remaining >= 3 and fuse_pairs and triple_ok:
+        dt = (out_dtype if remaining == 3 else None) or u.dtype
+        spatial3 = b.shape[-3:]
+        no_lead = int(np.prod(b.shape[:-3], dtype=np.int64)) == 1 if b.ndim > 3 else True
+        if remaining == 3 and no_lead and _SMOOTH_DOT_CAPTURE \
+                and _SMOOTH_DOT_CAPTURE[-1][1] == int(np.prod(spatial3, dtype=np.int64)):
+            out, dot = _jacobi2_pallas_3d(u.reshape(spatial3), b.reshape(spatial3),
+                                          inv_dx2, bc, w, False, sweeps=3,
+                                          interpret=interpret, out_dtype=dt, emit_dot=True)
+            _SMOOTH_DOT_CAPTURE[-1][0]['dot'] = dot
+            u = out.reshape(b.shape)
+            remaining -= 3
+            continue
         u = batched(lambda uu, bb: _jacobi2_pallas_3d(uu, bb, inv_dx2, bc, w, False,
-                                                      sweeps=3, interpret=interpret), u, b)
+                                                      sweeps=3, interpret=interpret,
+                                                      out_dtype=dt), u, b)
         remaining -= 3
     while remaining >= 2 and fuse_pairs and fused_ok:
         u = batched(lambda uu, bb: _jacobi2_pallas_3d(uu, bb, inv_dx2, bc, w, False,
@@ -679,6 +922,8 @@ def poisson_smooth(u: Optional[jnp.ndarray], b: jnp.ndarray,
     for _ in range(remaining):
         u = poisson_apply(u, inv_dx2, bc, b=b, mode='jacobi', omega_over_diag=w,
                           use_pallas=use_pallas, interpret=interpret)
+    if out_dtype is not None and u.dtype != out_dtype:
+        u = u.astype(out_dtype)
     return u
 
 
@@ -706,7 +951,7 @@ def poisson_apply(p: jnp.ndarray, inv_dx2: Sequence[float], bc: Sequence[Tuple[s
     def _no_lead(a):
         return a is None or all(s == 1 for s in a.shape[:-ndim])
 
-    if use_pallas and ndim == 3 and p.dtype == jnp.float32 and min(p.shape[-3:]) >= 8 \
+    if use_pallas and ndim == 3 and p.dtype in (jnp.float32, jnp.bfloat16) and min(p.shape[-3:]) >= 8 \
             and p.shape[-1] % 128 == 0 and p.shape[-2] % 8 == 0 \
             and all(_no_lead(a) for a in [c0, active] + list(mA_list or [])):
         spatial_shape = p.shape[-3:]

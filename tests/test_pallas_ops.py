@@ -277,3 +277,73 @@ def test_cg_fused_dot_solution_matches_unfused():
                              assume_homogeneous=True)
     diff = float(pm.max(abs(sol_plain.values - sol_fused.values)))
     assert diff < 1e-5, diff
+
+
+def test_residual_restrict_fused_matches_unfused():
+    """Fused residual+restrict kernel (interpret mode) vs residual → mean-pool."""
+    from phiflow_tpu.ops import poisson as P
+    from phiflow_tpu.ops.transfer import restrict_mean
+    rng = np.random.RandomState(5)
+    u = jnp.asarray(rng.randn(4, 16, 256).astype(np.float32))
+    b = jnp.asarray(rng.randn(4, 16, 256).astype(np.float32))
+    inv = (1.0, 0.5, 2.0)
+    for bcs in [(('neumann', 'neumann'),) * 3,
+                (('periodic', 'periodic'),) * 3,
+                (('neumann', 'ghost0'), ('periodic', 'periodic'), ('neumann', 'neumann'))]:
+        ref = restrict_mean(P.poisson_apply(u, inv, bcs, b=b, mode='residual',
+                                            use_pallas=False), 3)
+        got = P._residual_restrict_pallas_3d(u, b, inv, bcs, interpret=True)
+        assert got is not None
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err < 1e-5, (bcs, err)
+
+
+def test_prolong_add_pallas_matches_xla():
+    """Fused prolong+add kernel (interpret mode) vs repeat-upsample + add."""
+    from phiflow_tpu.ops import transfer as T
+    rng = np.random.RandomState(6)
+    c = jnp.asarray(rng.randn(8, 8, 128).astype(np.float32))
+    u = jnp.asarray(rng.randn(16, 16, 256).astype(np.float32))
+    ref = u + T._prolong_xla(c, 3)
+    got = T._prolong_add_pallas_3d(c, u, interpret=True)
+    assert got is not None
+    assert float(jnp.max(jnp.abs(got - ref))) == 0.0
+    # plain prolong (no add)
+    ref2 = T._prolong_xla(c, 3)
+    got2 = T._prolong_add_pallas_3d(c, None, interpret=True)
+    assert float(jnp.max(jnp.abs(got2 - ref2))) == 0.0
+
+
+def test_restrict_mean_matches_tensordot_restrict():
+    """reduce_window restriction == the tensordot full-weighting (2D and 3D)."""
+    from phiflow_tpu.ops.transfer import restrict_mean
+    from phiflow_tpu.math._multigrid import _restrict
+    rng = np.random.RandomState(7)
+    for shape in [(1, 8, 12), (2, 16, 8, 6)]:
+        r = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        ref = _restrict(r)
+        got = restrict_mean(r, r.ndim - 1)
+        assert float(jnp.max(jnp.abs(got - ref))) < 1e-6
+
+
+def test_smooth_dot_epilogue_matches_separate_dot():
+    """capture_smooth_dot: the fused triple's <z, b> epilogue equals the
+    separately computed dot (interpret mode)."""
+    from phiflow_tpu.ops import poisson as P
+    rng = np.random.RandomState(8)
+    u = jnp.asarray(rng.randn(8, 16, 256).astype(np.float32))
+    b = jnp.asarray(rng.randn(8, 16, 256).astype(np.float32))
+    inv = (1.0, 1.0, 1.0)
+    bcs = (('neumann', 'neumann'),) * 3
+    w = np.float32(0.9 / 6.0)
+    box = {}
+    with P.capture_smooth_dot(box, b.size):
+        z = P.poisson_smooth(u, b, inv, bcs, w, 3, fuse_pairs=True,
+                             use_pallas=True, interpret=True)
+    assert 'dot' in box
+    ref = P.poisson_smooth(u, b, inv, bcs, w, 3, fuse_pairs=True,
+                           use_pallas=True, interpret=True)
+    want = float(jnp.sum(ref * b))
+    got = float(box['dot'])
+    assert abs(got - want) / max(abs(want), 1.0) < 1e-5
+    assert float(jnp.max(jnp.abs(z - ref))) == 0.0

@@ -53,7 +53,7 @@ def main(res=512):
 
     print(f"copy (read+write 1 field): {timeit(lambda x: x + 1.0, (arr,)):.2f} ms")
     print(f"poisson matvec: {timeit(lambda x: poisson.poisson_apply(x, inv, bc), (arr,)):.2f} ms")
-    print(f"poisson jacobi (1 sweep): {timeit(lambda x: poisson.poisson_apply(x, inv, bc, b=b, mode='jacobi', omega_over_diag=0.15), (arr,)):.2f} ms")
+    print(f"poisson jacobi (1 sweep): {timeit(lambda x, bb: poisson.poisson_apply(x, inv, bc, b=bb, mode='jacobi', omega_over_diag=0.15), (arr, b)):.2f} ms")
     vc = make_poisson_vcycle(shape, (1., 1., 1.), bc)
     print(f"MG V-cycle: {timeit(lambda x: vc(x.reshape((1,) + shape)), (b,)):.2f} ms")
     print(f"dot(a,b): {timeit(lambda x, y: jnp.vdot(x, y), (arr, b)):.2f} ms")
