@@ -75,25 +75,31 @@ def _prolong(e: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=32)
 def _coarse_pinv(res: Tuple[int, ...], inv_dx2, bcs) -> np.ndarray:
-    """Exact coarse solve: materialize the coarse Laplacian on host numpy and
-    pseudo-invert it (pinv handles the singular Neumann/periodic nullspace).
-    Stays a HOST constant — embedded as a literal, symmetric by construction.
-
-    Runs as ONE jitted call pinned to the host CPU device: op-by-op eager
-    evaluation inside an outer trace dispatches hundreds of micro-programs and
-    blocks on the device queue (30s+ observed at trace time); a single cached
-    CPU executable is milliseconds."""
-    n = int(np.prod(res))
-    eye = np.eye(n, dtype=np.float32).reshape((n,) + tuple(res))
-    try:
-        cpu = jax.devices('cpu')[0]
-    except RuntimeError:
-        cpu = None
-    with jax.ensure_compile_time_eval():  # host-eval even when called inside a jit trace
-        f = jax.jit(lambda e: _lap(e, inv_dx2, bcs))
-        e0 = jnp.asarray(eye) if cpu is None else jax.device_put(jnp.asarray(eye), cpu)
-        cols = np.asarray(f(e0)).reshape(n, n)
-    return np.linalg.pinv(cols.T, rcond=1e-5).astype(np.float32)
+    """Exact coarse solve: assemble the coarse Laplacian on host numpy (pure
+    Kronecker structure from the same per-axis profiles the device stencil
+    uses, ops/poisson._unmasked_coeffs_1d) and pseudo-invert it (pinv handles
+    the singular Neumann/periodic nullspace). Stays a HOST constant — embedded
+    as a literal, symmetric by construction. NumPy assembly avoids any device
+    round trip: an identity-matvec through the axon TPU tunnel was measured at
+    75 s at first build; this is < 1 ms."""
+    from ..ops.poisson import _unmasked_coeffs_1d
+    mats = []
+    for n_d, (lo, hi), inv in zip(res, bcs, inv_dx2):
+        am, ap, c0 = _unmasked_coeffs_1d(n_d, lo, hi, np.float64)
+        T = np.zeros((n_d, n_d), np.float64)
+        idx = np.arange(n_d)
+        T[idx, idx] = c0
+        # += matches jnp.roll semantics when (i±1) wraps onto the same column
+        np.add.at(T, (idx, (idx - 1) % n_d), am)
+        np.add.at(T, (idx, (idx + 1) % n_d), ap)
+        mats.append(T * float(inv))
+    A = None
+    for d, T in enumerate(mats):
+        term = np.array([[1.0]])
+        for k in range(len(mats)):
+            term = np.kron(term, T if k == d else np.eye(res[k]))
+        A = term if A is None else A + term
+    return np.linalg.pinv(A, rcond=1e-5).astype(np.float32)
 
 
 def make_poisson_vcycle(resolution: Tuple[int, ...], dx: Tuple[float, ...], bcs,
