@@ -40,5 +40,6 @@ from .burgers import Burgers
 from .kolmogorov import KolmogorovFlow
 from .flip import FlipLiquid
 from .cavity import LidDrivenCavity
+from .moving_obstacle import MovingObstacles
 from .sph_dam import SphDamBreak
 from .cylinder_wake import CylinderWake

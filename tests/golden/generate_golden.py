@@ -59,6 +59,23 @@ def generate(n=24, steps=3, seed=7):
     ox, oy, op = ref.sphere_masked_project(ux, uy, n, h, cx, cy, R)
     data['obs_ux'], data['obs_uy'], data['obs_p'] = ox, oy, op
 
+    # --- config 4b: MOVING + ROTATING obstacle projection (2-step trajectory:
+    # the center advances by v_obs·dt between projections, so the framework side
+    # must rebuild masks from a jit-TRACED center; reference recipe
+    # examples/grids/Moving_Obstacles.ipynb, fluid.py:212-241) ---
+    ux = rng.standard_normal((n - 1, n)) * 0.5
+    uy = rng.standard_normal((n, n - 1)) * 0.5
+    mv_cx, mv_cy, mv_R = 0.4, 0.45, 0.2
+    mv_vx, mv_vy, mv_omega, mv_dt = 0.3, -0.2, 0.8, 0.25
+    data['mv_ux0'], data['mv_uy0'] = ux.copy(), uy.copy()
+    data['mv_center'], data['mv_radius'] = np.array([mv_cx, mv_cy]), mv_R
+    data['mv_vel'], data['mv_omega'], data['mv_dt'] = np.array([mv_vx, mv_vy]), mv_omega, mv_dt
+    for k in range(2):
+        cx_k, cy_k = mv_cx + mv_vx * mv_dt * k, mv_cy + mv_vy * mv_dt * k
+        ux, uy, _ = ref.sphere_masked_project(ux, uy, n, h, cx_k, cy_k, mv_R,
+                                              vx_o=mv_vx, vy_o=mv_vy, omega=mv_omega)
+    data['mv_ux'], data['mv_uy'] = ux, uy
+
     # --- config 5: 3D closed-box projection ---
     n3 = 12
     h3 = 1.0 / n3
@@ -94,9 +111,12 @@ def verify(data):
     errs['projection'] = max(_l2(ux, data['proj_ux']), _l2(uy, data['proj_uy']))
     s, ux, uy = run_smoke(data)
     errs['smoke'] = max(_l2(s, data['smoke_s']), _l2(ux, data['smoke_ux']), _l2(uy, data['smoke_uy']))
-    from tests.golden.test_golden import run_obstacle_projection, run_projection_3d
+    from tests.golden.test_golden import run_obstacle_projection, run_projection_3d, \
+        run_moving_obstacle_projection
     ux, uy = run_obstacle_projection(data)
     errs['obstacle'] = max(_l2(ux, data['obs_ux']), _l2(uy, data['obs_uy']))
+    ux, uy = run_moving_obstacle_projection(data)
+    errs['moving_obstacle'] = max(_l2(ux, data['mv_ux']), _l2(uy, data['mv_uy']))
     px, py, pz = run_projection_3d(data)
     errs['projection3d'] = max(_l2(px, data['p3_ux']), _l2(py, data['p3_uy']), _l2(pz, data['p3_uz']))
     ctx.__exit__(None, None, None)

@@ -176,12 +176,17 @@ def smoke_step(smoke, ux, uy, dt, buoyancy, n, h):
 # obstacle-masked projection (closed box + sphere obstacle)
 # ---------------------------------------------------------------------------
 
-def sphere_masked_project(ux, uy, n, h, cx, cy, R):
+def sphere_masked_project(ux, uy, n, h, cx, cy, R, vx_o=0.0, vy_o=0.0, omega=0.0):
     """Pressure projection with a sphere obstacle, mirroring the reference
     pipeline (phi/physics/fluid.py:94-162): hard accessible-cell mask, binary
     staggered face masks (min of adjacent cells), soft velocity blending at the
     obstacle boundary, identity rows on blocked cells, dense masked Poisson
-    solve (zero-mean gauge)."""
+    solve (zero-mean gauge).
+
+    (vx_o, vy_o) is the obstacle's linear velocity and omega its angular
+    velocity; faces inside the obstacle blend toward
+    v_obs + ω×(r−c) = (vx_o − ω·(y−cy), vy_o + ω·(x−cx))
+    (reference: apply_boundary_conditions, phi/physics/fluid.py:212-241)."""
     # cell centers
     xs = (np.arange(n) + 0.5) * h
     cc_x, cc_y = np.meshgrid(xs, xs, indexing='ij')
@@ -197,8 +202,12 @@ def sphere_masked_project(ux, uy, n, h, cx, cy, R):
 
     fx_x, fx_y = np.meshgrid(np.arange(1, n) * h, xs, indexing='ij')   # interior x-faces
     fy_x, fy_y = np.meshgrid(xs, np.arange(1, n) * h, indexing='ij')   # interior y-faces
-    ux_m = ux * (1.0 - soft_frac(fx_x, fx_y))
-    uy_m = uy * (1.0 - soft_frac(fy_x, fy_y))
+    frac_x = soft_frac(fx_x, fx_y)
+    frac_y = soft_frac(fy_x, fy_y)
+    obs_ux = vx_o - omega * (fx_y - cy)   # obstacle velocity at x-faces
+    obs_uy = vy_o + omega * (fy_x - cx)   # obstacle velocity at y-faces
+    ux_m = ux * (1.0 - frac_x) + frac_x * obs_ux
+    uy_m = uy * (1.0 - frac_y) + frac_y * obs_uy
 
     # binary face masks: both adjacent cells accessible
     mask_fx = np.minimum(accessible[:-1, :], accessible[1:, :])

@@ -125,6 +125,40 @@ def run_obstacle_projection(data, tol=1e-12, max_iter=8000, use_jit=False):
     return ux, uy
 
 
+def run_moving_obstacle_projection(data, tol=1e-12, max_iter=8000, use_jit=False):
+    """2-step moving+rotating sphere: ONE traced projection function is called
+    with two different centers, so the obstacle masks (and the masked-system
+    preconditioner inputs) are rebuilt from a traced geometry center — the same
+    path MovingObstacles exercises (reference: Moving_Obstacles.ipynb)."""
+    import jax.numpy as jnp
+    from phiflow_tpu.geom import Sphere
+    from phiflow_tpu.math import vec
+    from phiflow_tpu.physics.fluid import Obstacle
+    n = int(data['n'])
+    cx, cy = (float(c) for c in data['mv_center'])
+    R = float(data['mv_radius'])
+    vx_o, vy_o = (float(c) for c in data['mv_vel'])
+    omega, dt = float(data['mv_omega']), float(data['mv_dt'])
+    v = _staggered_from(data['mv_ux0'], data['mv_uy0'], n)
+
+    def project(v, center):
+        obs = Obstacle(Sphere(center, radius=R), velocity=vec(x=vx_o, y=vy_o),
+                       angular_velocity=omega)
+        return fluid.make_incompressible(v, [obs],
+                                         Solve('CG', tol, tol, max_iterations=max_iter,
+                                               suppress=(ConvergenceException,),
+                                               implicit_diff=False))
+    if use_jit:
+        import jax
+        project = jax.jit(project)
+    for k in range(2):
+        center = vec(x=cx + vx_o * dt * k, y=cy + vy_o * dt * k)
+        v, p = project(v, center)
+    ux = np.asarray(v.values[{'~vector': 'x'}].native(('x', 'y')))
+    uy = np.asarray(v.values[{'~vector': 'y'}].native(('x', 'y')))
+    return ux, uy
+
+
 def run_projection_3d(data):
     from phiflow_tpu.math import dual, spatial, Tensor
     import jax.numpy as jnp
@@ -168,6 +202,13 @@ def test_obstacle_projection_golden(golden):
         ux, uy = run_obstacle_projection(golden)
     assert _l2(ux, golden['obs_ux']) < 1e-5
     assert _l2(uy, golden['obs_uy']) < 1e-5
+
+
+def test_moving_obstacle_projection_golden(golden):
+    with math.precision(64):
+        ux, uy = run_moving_obstacle_projection(golden)
+    assert _l2(ux, golden['mv_ux']) < 1e-5
+    assert _l2(uy, golden['mv_uy']) < 1e-5
 
 
 def test_projection_3d_golden(golden):
