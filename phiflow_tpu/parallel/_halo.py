@@ -60,6 +60,41 @@ def _edge_fill(block, halo, axis, width, bc, lower: bool):
     raise ValueError(f"unsupported edge bc {bc!r}")
 
 
+_COMM_TRACKER = None
+
+
+class CommTracker:
+    """Accumulates per-shard ppermute traffic at TRACE time (shapes are static).
+    Call sites inside `lax.while_loop` bodies are traced once, so `loop_bytes`
+    counts bytes per loop ITERATION for those — multiply by the measured
+    iteration count for totals."""
+
+    def __init__(self):
+        self.bytes = 0       # per-shard bytes ppermuted, per traced call site
+        self.ppermutes = 0   # number of ppermute ops traced
+
+    def note(self, n_bytes: int):
+        self.bytes += int(n_bytes)
+        self.ppermutes += 1
+
+
+def track_comm():
+    """Context manager: track ppermute halo traffic traced inside the block."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        global _COMM_TRACKER
+        prev = _COMM_TRACKER
+        t = CommTracker()
+        _COMM_TRACKER = t
+        try:
+            yield t
+        finally:
+            _COMM_TRACKER = prev
+    return _ctx()
+
+
 def halo_exchange(block: jnp.ndarray, specs: Sequence[AxisSpec], width: int = 1) -> jnp.ndarray:
     """Pad each decomposed axis of a shard_map block with `width` neighbor cells.
 
@@ -86,6 +121,10 @@ def halo_exchange(block: jnp.ndarray, specs: Sequence[AxisSpec], width: int = 1)
         # ring exchange: shard i receives left halo from i−1 and right from i+1
         fwd = [(i, (i + 1) % n) for i in range(n)]   # my top rows → right neighbor
         bwd = [(i, (i - 1) % n) for i in range(n)]   # my bottom rows → left neighbor
+        if _COMM_TRACKER is not None:
+            import numpy as _np
+            slab = int(_np.prod(own_hi.shape)) * jnp.dtype(own_hi.dtype).itemsize
+            _COMM_TRACKER.note(2 * slab)
         left_halo = lax.ppermute(own_hi, name, fwd)
         right_halo = lax.ppermute(own_lo, name, bwd)
         if not spec.periodic:

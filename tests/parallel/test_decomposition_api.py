@@ -144,16 +144,55 @@ def test_batched_dispatch_matches_single():
             math.assert_close(c1, c2, abs_tolerance=1e-5)
 
 
-def test_fallback_on_moving_obstacle():
-    """Problems outside the explicit path (moving obstacles: traced geometry)
-    silently fall back to the GSPMD solver — the public API never errors
-    because a decomposition is active."""
+def test_moving_obstacle_decomposition_matches():
+    """Moving + rotating obstacles go THROUGH the explicit decomposition path
+    (VERDICT r4 #5 — r4 bailed to GSPMD here): the mask arrays stage as tracers
+    from the traced geometry and ride into shard_map as sharded block operands.
+    Must match the single-device result."""
     from phiflow_tpu.geom import Sphere
+    from phiflow_tpu.math import vec
+    with math.precision(64):
+        v = StaggeredGrid(Noise(vector='x,y'), extrapolation.ZERO, x=32, y=32, bounds=Box(x=1., y=1.))
+        obstacle = fluid.Obstacle(Sphere(x=0.5, y=0.45, radius=0.15), velocity=vec(x=0.2, y=-0.1),
+                                  angular_velocity=0.7)
+        solve = Solve('CG', 1e-10, 1e-10, max_iterations=3000, suppress=(math.ConvergenceException,))
+        v_ref, p_ref = fluid.make_incompressible(v, [obstacle], solve)
+        with parallel.decomposition(_mesh2d(), x='x', y='y'):
+            v_dd, p_dd = fluid.make_incompressible(v, [obstacle], solve)
+        for c1, c2 in zip(math.unstack(v_ref.values, '~vector'), math.unstack(v_dd.values, '~vector')):
+            math.assert_close(c1, c2, abs_tolerance=1e-6)
+
+
+def test_moving_obstacle_decomposition_traced_center_in_jit():
+    """The MovingObstacles pattern: obstacle center is a jit TRACER; the
+    decomposed projection must still produce the single-device answer."""
+    import jax
+    from phiflow_tpu.geom import Sphere
+    from phiflow_tpu.math import vec, wrap, stack, channel
     v = StaggeredGrid(Noise(vector='x,y'), extrapolation.ZERO, x=32, y=32, bounds=Box(x=1., y=1.))
-    obstacle = fluid.Obstacle(Sphere(x=0.5, y=0.5, radius=0.12), velocity=(0.1, 0.0))
+
+    def project(v, cx):
+        center = stack({'x': cx, 'y': wrap(0.45)}, channel('vector'))
+        o = fluid.Obstacle(Sphere(center, radius=0.15), velocity=vec(x=0.2, y=-0.1),
+                           angular_velocity=0.7)
+        return fluid.make_incompressible(v, [o], Solve('CG', 1e-5, 1e-5, max_iterations=500,
+                                                       suppress=(math.ConvergenceException,)))
+
+    v_ref, _ = project(v, wrap(0.5))
     with parallel.decomposition(_mesh2d(), x='x', y='y'):
-        v2, p = fluid.make_incompressible(v, [obstacle], Solve('CG', 1e-5, 1e-5, max_iterations=500,
-                                                               suppress=(math.ConvergenceException,)))
+        v_dd, _ = jax.jit(project)(v, wrap(0.5))
+    for c1, c2 in zip(math.unstack(v_ref.values, '~vector'), math.unstack(v_dd.values, '~vector')):
+        math.assert_close(c1, c2, abs_tolerance=1e-3)  # f32 CG floor
+
+
+def test_fallback_on_indivisible_resolution():
+    """Problems outside the explicit path (here: a resolution not divisible by
+    the mesh axis) silently fall back to the GSPMD solver — the public API
+    never errors because a decomposition is active."""
+    v = StaggeredGrid(Noise(vector='x,y'), extrapolation.ZERO, x=30, y=30, bounds=Box(x=1., y=1.))
+    with parallel.decomposition(_mesh2d(), x='x', y='y'):
+        v2, p = fluid.make_incompressible(v, (), Solve('CG', 1e-5, 1e-5, max_iterations=500,
+                                                       suppress=(math.ConvergenceException,)))
     div = divergence(v2)
     assert np.isfinite(float(math.max(abs(div.values))))
 
