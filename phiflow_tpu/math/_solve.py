@@ -37,6 +37,11 @@ from . import _ops as ops
 __all__ = ['Solve', 'SolveInfo', 'SolveTape', 'solve_linear', 'solve_nonlinear', 'minimize',
            'ConvergenceException', 'Diverged', 'NotConverged']
 
+# 'direct' / 'scipy-direct' dense-solve size limit: 2·N²·4B ≈ 2 GB at 16384 —
+# fits one chip's HBM with room for the operator trace; beyond it requests
+# reroute to tightened BiCGStab (see solve_linear / docs/Unstructured_Meshes.md)
+DIRECT_MAX_UNKNOWNS = 16384
+
 
 class Solve:
     """Specifies a linear or nonlinear solve: method, tolerances, initial guess.
@@ -732,11 +737,14 @@ def solve_linear(f, y, solve: Solve, *f_args, grad_for_f=False, f_kwargs: dict =
         krylov = _bicgstab2
     elif method in ('direct', 'scipy-direct'):
         # the dense direct path materializes A column-by-column: O(N²) memory
-        # and N matvecs — only viable for small systems. Large systems reroute
-        # to BiCGStab with tightened tolerances (reference uses scipy splu,
-        # which has no TPU-resident equivalent).
+        # and N matvecs — viable up to DIRECT_MAX_UNKNOWNS (16384 → basis +
+        # matrix ≈ 2·N²·4B = 2 GB f32, comfortably inside one chip's HBM, and
+        # the O(N³) LU ≈ 4e12 FLOP runs in tens of ms on the MXU). Larger
+        # systems reroute to BiCGStab with tightened tolerances (reference uses
+        # scipy splu — sequential triangular solves with no TPU-resident
+        # equivalent; docs/Unstructured_Meshes.md documents the rerouting).
         n_unknowns = sum(int(np.prod(t.shape.sizes)) for t in _tensor_leaves(x0))
-        if n_unknowns > 4096:
+        if n_unknowns > DIRECT_MAX_UNKNOWNS:
             warnings.warn(f"'{method}' with {n_unknowns} unknowns would materialize a dense "
                           f"{n_unknowns}x{n_unknowns} matrix; using BiCGStab instead")
             krylov = _bicgstab

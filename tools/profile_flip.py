@@ -1,8 +1,13 @@
 """Per-phase timing of the 3D FLIP step on the live backend (VERDICT r3 #3 scoping)."""
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
+jax.config.update('jax_compilation_cache_dir', os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 from phiflow_tpu.models import FlipLiquid
 from phiflow_tpu.math import Solve, ConvergenceException
@@ -70,7 +75,7 @@ def main(res=64):
     print(f"advect.points finite_rk4     {ms:8.2f} ms")
     ms, _ = timeit(j(push), (particles3,))
     print(f"boundary_push                {ms:8.2f} ms")
-    ms, _ = timeit(j(model.step), ((particles,),))
+    ms, _ = timeit(j(model.step), (particles,))
     print(f"FULL STEP                    {ms:8.2f} ms")
 
 
