@@ -134,6 +134,24 @@ def stage_slab_padded(padded: jnp.ndarray, N: Sequence[int], K: int) -> jnp.ndar
     return jnp.pad(z_staged.astype(jnp.float32), pads)
 
 
+def stage_slab_periodic(arr: jnp.ndarray, own_axis: Optional[int], N: Sequence[int],
+                        K: int) -> jnp.ndarray:
+    """Stage a PERIODIC staggered component (own axis holds all N faces; the
+    periodic valid-outer-faces rule keeps the lower face only) or a periodic
+    centered scalar: halos wrap instead of holding a boundary constant.
+
+    The logical convention is SHARED across all slabs (logical index = face
+    index along the component's own axis, cell index elsewhere) — the kernel's
+    cross-component displacement taps depend on it — so raw face a sits at
+    logical a (NO own-axis shift; periodic face 0 is the kept lower face).
+    Component outputs then come out at faces 1..N (row r = face r+1, since
+    base_x = C+ds): the caller crops N rows and rolls +1 along the own axis to
+    recover faces 0..N−1 (face N ≡ face 0). The wrap margin is (K, K+1) so
+    logical N+K is covered, which the ds-shifted own-axis taps reach."""
+    p = jnp.pad(arr.astype(jnp.float32), [(K, K + 1)] * 3, mode='wrap')
+    return stage_slab_padded(p, N, K)
+
+
 class OutSpec(NamedTuple):
     """One advected output of the fused call.
 

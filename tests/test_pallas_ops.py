@@ -221,6 +221,47 @@ def test_fused_advect_3d_matches_separate_phases():
         np.testing.assert_allclose(a, b_, atol=2e-5)
 
 
+def _fused_vs_separate(model, steps=2, atol=2e-5):
+    import numpy as np
+    v, s, p = model.initial_state()
+    for _ in range(steps):  # nontrivial state via the reference phases
+        s = model.advect_smoke(v, s)
+        v = model.advect_velocity(v, s)
+        v, p = model.project(v, p)
+    assert model._fused_advect_available(v, s, interpret=True)
+    s_old = model.advect_smoke(v, s)
+    v_old = model.advect_velocity(v, s_old)
+    v_new, s_new = model._fused_advect(v, s, interpret=True)
+
+    def nat(f):
+        t = f.values
+        if hasattr(t, 'components'):
+            return [np.asarray(c.native()) for c in t.components]
+        return [np.asarray(t.native())]
+
+    np.testing.assert_allclose(nat(s_new)[0], nat(s_old)[0], atol=atol)
+    for a, b_ in zip(nat(v_new), nat(v_old)):
+        np.testing.assert_allclose(a, b_, atol=atol)
+
+
+def test_fused_advect_3d_physical_domain():
+    """VERDICT r4 #3: a physically-scaled domain (bounds ≠ resolution, dx ≠ 1)
+    must take the fused path — the dt/dx conversion rides in-register — and
+    match the per-component path."""
+    from phiflow_tpu.models import SmokePlume
+    model = SmokePlume(resolution=64, dims=3, size=100., dt=0.5)
+    assert abs(model._dx - 100. / 64) < 1e-12
+    _fused_vs_separate(model)
+
+
+def test_fused_advect_3d_periodic():
+    """VERDICT r4 #3: periodic velocity + smoke take the fused path (wrapped
+    halo staging, N-face own-axis layout) and match the per-component path."""
+    from phiflow_tpu.models import SmokePlume
+    model = SmokePlume(resolution=64, dims=3, periodic=True, dt=0.5)
+    _fused_vs_separate(model)
+
+
 def test_capture_matvec_dot_fused_epilogue():
     """The fused ⟨p, A·p⟩ kernel epilogue (capture_matvec_dot → matvec with_dot)
     must equal sum(p * poisson_apply(p)) for unmasked and masked systems, with
@@ -347,3 +388,37 @@ def test_smooth_dot_epilogue_matches_separate_dot():
     got = float(box['dot'])
     assert abs(got - want) / max(abs(want), 1.0) < 1e-5
     assert float(jnp.max(jnp.abs(z - ref))) == 0.0
+
+
+def test_p2g_mean_kernel_matches_scatter():
+    """The MXU one-hot P2G kernel (ops/p2g.py — the FLIP hot path, VERDICT r4
+    #2) must match the XLA scatter mean in both outside_handling modes, keep
+    NaN bases for unwritten cells, and carry the mean-scatter VJP."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from phiflow_tpu.ops.p2g import p2g_mean_3d, _p2g_xla
+
+    rng = np.random.default_rng(0)
+    N = 7000
+    res = (12, 10, 14)
+    pos = jnp.asarray(rng.uniform(-1, 13, (N, 3)).astype(np.float32))
+    vals = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+    for clamp in (True, False):
+        ref_s, ref_c = _p2g_xla(pos, vals, res, (0., 0., 0.), (1., 1., 1.), clamp)
+        ref = np.where(np.asarray(ref_c) > 0,
+                       np.asarray(ref_s) / np.maximum(np.asarray(ref_c), 1), np.nan)
+        got = np.asarray(p2g_mean_3d(pos, vals, res, (0., 0., 0.), (1., 1., 1.),
+                                     clamp, float('nan'), True))
+        assert np.array_equal(np.isnan(got), np.isnan(ref))
+        assert np.nanmax(np.abs(got - ref)) < 5e-5  # hi/lo bf16 split precision
+
+    def loss(vals):
+        m = p2g_mean_3d(pos, vals, res, (0., 0., 0.), (1., 1., 1.), True, 0.0, True)
+        w = jnp.arange(m.size, dtype=jnp.float32).reshape(m.shape) * 1e-3
+        return jnp.sum(m * w)
+
+    g = jax.grad(loss)(vals)
+    i, eps = 17, 1e-2
+    fd = (loss(vals.at[i].add(eps)) - loss(vals)) / eps
+    np.testing.assert_allclose(float(g[i]), float(fd), atol=1e-4)
