@@ -386,6 +386,9 @@ def _scatter_to_centered(value: Field, grid: UniformGrid, scatter: bool, outside
     if scatter:
         assert isinstance(grid, UniformGrid)
         points = value.points
+        fast = _p2g_fast_path(value, grid, outside_handling)
+        if fast is not None:
+            return fast
         idx = grid.voxel_at(points, clamp=(outside_handling == 'clamp'))
         # unwritten cells default to the PARTICLE field's boundary value — NaN for
         # FLIP free-surface grids (reference: grid_scatter, _resample.py:236-238
@@ -406,6 +409,49 @@ def _scatter_to_centered(value: Field, grid: UniformGrid, scatter: bool, outside
     if value.shape.channel:
         result = result * _mean_value(value)
     return result
+
+
+def _p2g_fast_path(value: Field, grid: UniformGrid, outside_handling: str):
+    """Dispatch the scalar 3D P2G mean-scatter to the MXU one-hot kernel
+    (ops/p2g.py — VERDICT r4 #2; XLA's serialized scatter costs ~2.5 ms per
+    contrib+counts pair at 125k particles where the contraction costs ~0.5 ms).
+    Returns the scattered Tensor or None (generic math.scatter path)."""
+    from ..ops import p2g as _p2g
+    from ..math import Tensor, spatial
+    import numpy as _np
+    if not (_p2g.pallas_ok() or _p2g.FORCE_INTERPRET):
+        return None
+    points = value.points
+    inst = points.shape.instance
+    vals = value.values
+    if inst.rank != 1 or 'vector' not in points.shape:
+        return None
+    # scalar value per particle; uniform base (boundary constant or 0)
+    if vals.shape.names not in ((inst.name,),):
+        return None
+    res = tuple(int(s) for s in grid.resolution.sizes)
+    if len(res) != 3 or not _p2g.supported(res, inst.volume):
+        return None
+    if isinstance(value.boundary, ConstantExtrapolation):
+        try:
+            base = float(_np.asarray(value.boundary.value.native()))
+        except Exception:
+            return None
+    else:
+        base = 0.0
+    try:
+        lower = tuple(float(v) for v in _np.asarray(grid.bounds.lower.native()).reshape(-1))
+        inv_dx = tuple(1.0 / float(v) for v in _np.asarray(grid.dx.native(grid.dx.shape.names)).reshape(-1))
+    except Exception:
+        return None  # traced geometry: generic path
+    dims = grid.resolution.names
+    pos = points.native((inst.name, 'vector'))  # (N, 3) in dim order
+    order = points.shape.get_labels('vector')
+    if tuple(order) != tuple(dims):
+        return None
+    out = _p2g.p2g_mean_3d(pos, vals.native((inst.name,)), res, lower, inv_dx,
+                           outside_handling == 'clamp', base)
+    return Tensor(out, spatial(**dict(zip(dims, res))))
 
 
 def _mean_value(value: Field):

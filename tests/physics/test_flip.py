@@ -100,3 +100,30 @@ def test_flip_3d_step():
     assert (pts > -0.5).all() and (pts < r + 0.5).all(), "particles left the box"
     # gravity pulls the block down on average
     assert pts[:, 1].mean() < 5.0
+
+
+def test_flip3d_p2g_kernel_dispatch_matches_generic():
+    """The field-layer P2G dispatch (field/_resample._p2g_fast_path → the MXU
+    one-hot kernel, interpret mode here) must reproduce the generic
+    math.scatter FLIP step, including NaN bases on empty cells."""
+    import numpy as np
+    import jax
+    from phiflow_tpu.models import FlipLiquid
+    from phiflow_tpu.ops import p2g as p2g_mod
+
+    model = FlipLiquid(resolution=24, dims=3, points_per_cell=8, cg_tol=1e-5,
+                       max_iterations=500)
+    n_particles = int(model.particles0.geometry.center.shape.instance.volume)
+    assert n_particles >= 4096, n_particles  # below ops.p2g.supported()'s floor the dispatch is a no-op
+    state = model.initial_state()
+    step = jax.jit(lambda p: model.step(p))
+    (ref,) = step(state[0])
+    p2g_mod.FORCE_INTERPRET = True
+    try:
+        step2 = jax.jit(lambda p: model.step(p))
+        (got,) = step2(state[0])
+    finally:
+        p2g_mod.FORCE_INTERPRET = False
+    a = np.asarray(ref.geometry.center.native(('points', 'vector')))
+    b = np.asarray(got.geometry.center.native(('points', 'vector')))
+    np.testing.assert_allclose(b, a, atol=5e-4)
