@@ -270,25 +270,25 @@ def run_flip(resolution: int = 128, steps: int = 10, warmup: int = 2, dims: int 
     import numpy as np
     from phiflow_tpu.models import FlipLiquid
     model = FlipLiquid(resolution=resolution, dims=dims, points_per_cell=points_per_cell)
-    (particles,) = model.initial_state()
-    n_particles = particles.geometry.center.shape.instance.volume
+    state = model.initial_state()
+    n_particles = state[0].geometry.center.shape.instance.volume
     steps_per_call = 4
 
-    def multi_step(particles):
+    def multi_step(*state):
         for _ in range(steps_per_call):
-            (particles,) = model.step(particles)
-        return particles
+            state = model.step(*state)
+        return state
 
     step = jax.jit(multi_step)
     for _ in range(max(warmup, 2)):
-        particles = step(particles)
-    _hard_sync(particles.geometry.center)
+        state = step(*state)
+    _hard_sync(state[0].geometry.center)
     check_retrace = _retrace_guard(step, f'flip {resolution}^{dims}')
     calls = max(1, steps // steps_per_call)
     t0 = time.perf_counter()
     for _ in range(calls):
-        particles = step(particles)
-    _hard_sync(particles.geometry.center)
+        state = step(*state)
+    _hard_sync(state[0].geometry.center)
     per_step = (time.perf_counter() - t0) / (calls * steps_per_call)
     check_retrace()
     return {'resolution': resolution, 'n_particles': int(n_particles),

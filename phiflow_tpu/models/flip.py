@@ -38,9 +38,13 @@ class FlipLiquid:
 
     def initial_state(self):
         from . import to_device
-        return to_device((self.particles0,))
+        from ..physics.fluid import _pressure_extrapolation
+        sizes = {n: self.resolution for n in self._names}
+        v0 = StaggeredGrid(0, 0, self.bounds, **sizes)
+        p0 = CenteredGrid(0., _pressure_extrapolation(v0.boundary), self.bounds, **sizes)
+        return to_device((self.particles0, p0))
 
-    def step(self, particles):
+    def step(self, particles, pressure=None):
         r = self.resolution
         sizes = {n: r for n in self._names}
         grid_v = prev_v = finite_fill(resample(
@@ -49,11 +53,14 @@ class FlipLiquid:
                             CenteredGrid(0, grid_v.boundary.spatial_gradient(), self.bounds, **sizes),
                             scatter=True)
         g_vec = (0,) * (len(self._names) - 1) + (self.gravity * self.dt,)
+        # warm-start the free-surface solve at the previous step's pressure —
+        # the active mask moves by < 1 cell per step (CFL), so it is an
+        # excellent initial iterate (zeroed on newly blocked cells in-solve)
         grid_v, pressure = fluid.make_incompressible(
             grid_v + g_vec, [], active=occupied,
-            solve=Solve('CG', self.cg_tol, 0., max_iterations=self.max_iterations,
+            solve=Solve('CG', self.cg_tol, 0., x0=pressure, max_iterations=self.max_iterations,
                         suppress=(ConvergenceException,)))
         particles = particles + resample(grid_v - prev_v, particles)  # FLIP velocity update
         particles = advect.points(particles, grid_v, self.dt, advect.finite_rk4)
         particles = fluid.boundary_push(particles, [~self.bounds])
-        return (particles,)
+        return particles, pressure

@@ -116,12 +116,12 @@ def test_flip3d_p2g_kernel_dispatch_matches_generic():
     n_particles = int(model.particles0.geometry.center.shape.instance.volume)
     assert n_particles >= 4096, n_particles  # below ops.p2g.supported()'s floor the dispatch is a no-op
     state = model.initial_state()
-    step = jax.jit(lambda p: model.step(p))
-    (ref,) = step(state[0])
+    step = jax.jit(lambda s: model.step(*s))
+    ref, _ = step(state)
     p2g_mod.FORCE_INTERPRET = True
     try:
-        step2 = jax.jit(lambda p: model.step(p))
-        (got,) = step2(state[0])
+        step2 = jax.jit(lambda s: model.step(*s))
+        got, _ = step2(state)
     finally:
         p2g_mod.FORCE_INTERPRET = False
     a = np.asarray(ref.geometry.center.native(('points', 'vector')))
