@@ -97,7 +97,7 @@ def laplace(field: Field, axes=None, gradient: Field = None, order=2, implicit=N
         result = None
         for dim in dims:
             dx2 = _dx(field, dim) ** 2
-            padded = ops.pad(v, {dim: (1, 1)}, field.boundary)
+            padded = ops.pad(v, {dim: (1, 1)}, field.boundary, bounds=field.bounds)
             n = v.shape.get_size(dim)
             lo = padded[{dim: slice(0, n)}]
             ce = padded[{dim: slice(1, n + 1)}]
@@ -111,7 +111,7 @@ def laplace(field: Field, axes=None, gradient: Field = None, order=2, implicit=N
         result = None
         for dim in dims:
             dx2 = _dx(field, dim) ** 2
-            padded = ops.pad(v, {dim: (2, 2)}, field.boundary)
+            padded = ops.pad(v, {dim: (2, 2)}, field.boundary, bounds=field.bounds)
             n = v.shape.get_size(dim)
             m2 = padded[{dim: slice(0, n)}]
             m1 = padded[{dim: slice(1, n + 1)}]
@@ -169,11 +169,11 @@ def spatial_gradient(field: Field,
         for dim in dims:
             dx = _dx(field, dim)
             if order == 2:
-                padded = ops.pad(v, {dim: (1, 1)}, field.boundary)
+                padded = ops.pad(v, {dim: (1, 1)}, field.boundary, bounds=field.bounds)
                 n = v.shape.get_size(dim)
                 comps[dim] = (padded[{dim: slice(2, n + 2)}] - padded[{dim: slice(0, n)}]) / (2 * dx)
             elif order == 4 and _use_ghost_pad_order4(field, [dim]):
-                padded = ops.pad(v, {dim: (2, 2)}, field.boundary)
+                padded = ops.pad(v, {dim: (2, 2)}, field.boundary, bounds=field.bounds)
                 n = v.shape.get_size(dim)
                 m2 = padded[{dim: slice(0, n)}]
                 m1 = padded[{dim: slice(1, n + 1)}]
@@ -193,7 +193,7 @@ def spatial_gradient(field: Field,
         comps = []
         for dim in dims:
             dx = _dx(field, dim)
-            padded = ops.pad(v, {dim: (1, 1)}, field.boundary)
+            padded = ops.pad(v, {dim: (1, 1)}, field.boundary, bounds=field.bounds)
             n = v.shape.get_size(dim)
             # all n+1 face values (forward differences of the padded array)
             faces = (padded[{dim: slice(1, n + 2)}] - padded[{dim: slice(0, n + 1)}]) / dx
@@ -216,7 +216,7 @@ def stagger(field: Field, face_function: Callable, boundary, at='face', dims=Non
         # evaluate face function at cell centers from neighbors on both sides
         comps = {}
         for dim in dims:
-            padded = ops.pad(field.values, {dim: (1, 1)}, field.boundary)
+            padded = ops.pad(field.values, {dim: (1, 1)}, field.boundary, bounds=field.bounds)
             n = field.values.shape.get_size(dim)
             lo = face_function(padded[{dim: slice(0, n)}], padded[{dim: slice(1, n + 1)}])
             up = face_function(padded[{dim: slice(1, n + 1)}], padded[{dim: slice(2, n + 2)}])
@@ -224,7 +224,7 @@ def stagger(field: Field, face_function: Callable, boundary, at='face', dims=Non
         return Field(field.geometry, math_stack(comps, channel('vector')), boundary)
     comps = []
     for dim in dims:
-        padded = ops.pad(field.values, {dim: (1, 1)}, field.boundary)
+        padded = ops.pad(field.values, {dim: (1, 1)}, field.boundary, bounds=field.bounds)
         n = field.values.shape.get_size(dim)
         lower = padded[{dim: slice(0, n + 1)}]
         upper = padded[{dim: slice(1, n + 2)}]

@@ -94,6 +94,46 @@ def _get_obstacles_for(obstacles, space: Field) -> List[Obstacle]:
     return [Obstacle(o) if isinstance(o, Geometry) else o for o in obstacles]
 
 
+def _linearize_pressure_bc(ext):
+    """The HOMOGENEOUS linear part of a pressure extrapolation: pad values that
+    do not depend on the padded field (FieldEmbedding samples of another field,
+    nonzero constants) contribute only an affine offset — their linearization
+    is a zero ghost (Dirichlet). Preconditioners must apply THIS boundary, not
+    the original: re-adding the affine offset on every M(r) application made
+    CG diverge on the nested-domain recipe (Multi_Grid_Fluid.ipynb)."""
+    from ..math._extrapolation import _MixedExtrapolation
+    if isinstance(ext, ConstantExtrapolation):
+        return ext if ops.always_close(ext.value, 0) else extrapolation.ZERO
+    if isinstance(ext, _MixedExtrapolation):
+        return _MixedExtrapolation({dim: (_linearize_pressure_bc(lo), _linearize_pressure_bc(hi))
+                                    for dim, (lo, hi) in ext.ext.items()})
+    if _is_homogeneous_pressure_bc(ext):
+        return ext
+    return extrapolation.ZERO  # FieldEmbedding / unknown value-type pads
+
+
+def _is_homogeneous_pressure_bc(ext) -> bool:
+    """True iff padding a ZERO field with `ext` yields zeros — the condition
+    for masked_laplace(0) = 0 (enables assume_homogeneous / the fused-dot CG).
+    Derived pressure BCs (periodic / zero-gradient / constant-0, see
+    _pressure_extrapolation) qualify; FieldEmbedding (nested domains) and
+    nonzero constants do not."""
+    from ..math._extrapolation import (_PeriodicExtrapolation, _BoundaryExtrapolation,
+                                       _SymmetricExtrapolation, _ReflectExtrapolation,
+                                       _AntiSymmetricExtrapolation, _AntiReflectExtrapolation,
+                                       _MixedExtrapolation, ConstantExtrapolation)
+    if ext is None:
+        return True  # x0 will be derived via _pressure_extrapolation
+    if isinstance(ext, (_PeriodicExtrapolation, _BoundaryExtrapolation, _SymmetricExtrapolation,
+                        _ReflectExtrapolation, _AntiSymmetricExtrapolation, _AntiReflectExtrapolation)):
+        return True
+    if isinstance(ext, ConstantExtrapolation):
+        return ops.always_close(ext.value, 0)
+    if isinstance(ext, _MixedExtrapolation):
+        return all(_is_homogeneous_pressure_bc(e) for pair in ext.ext.values() for e in pair)
+    return False  # FieldEmbedding / unknown: be safe, subtract f(0)
+
+
 def make_incompressible(velocity: Field,
                         obstacles=(),
                         solve: Solve = Solve(),
@@ -152,7 +192,11 @@ def make_incompressible(velocity: Field,
     # breaks CG on the nonsingular masked system).
     if solve.preconditioner in (None, 'auto', 'multigrid') and solve.method in ('auto', 'CG', 'CG-adaptive', 'CG-native') \
             and order == 2 and not wide_stencil and not div.is_mesh and all_active and not obstacles:
-        M = _grid_multigrid_preconditioner(solve.x0, input_velocity.boundary)
+        # linearized x0 boundary: an embedded/affine pressure BC contributes a
+        # constant offset that the solver subtracts — the preconditioner must
+        # approximate the LINEAR operator only
+        x0_lin = solve.x0.with_boundary(_linearize_pressure_bc(solve.x0.boundary))
+        M = _grid_multigrid_preconditioner(x0_lin, input_velocity.boundary)
         if M is not None:
             solve = copy_with(solve, preconditioner=M)
     elif (obstacles or not all_active) and solve.preconditioner in (None, 'auto', 'multigrid') \
@@ -182,11 +226,17 @@ def make_incompressible(velocity: Field,
     elif not callable(solve.preconditioner):
         solve = copy_with(solve, preconditioner=None)
     # --- linear solve for pressure ---
-    # assume_homogeneous: the derived pressure BCs are periodic / zero-gradient /
+    # assume_homogeneous: DERIVED pressure BCs are periodic / zero-gradient /
     # constant-0 (see _pressure_extrapolation) and obstacle masks only multiply,
-    # so masked_laplace(0) = 0 exactly — enables the fused ⟨p, A·p⟩ CG epilogue
+    # so masked_laplace(0) = 0 exactly — enables the fused ⟨p, A·p⟩ CG epilogue.
+    # A USER-supplied x0 can carry inhomogeneous boundaries though — e.g. the
+    # nested-domain recipe embeds the coarse pressure as the fine boundary
+    # (Multi_Grid_Fluid.ipynb, FieldEmbedding) — where skipping the affine
+    # f(0) subtraction made CG diverge (observed |p| → 3e7).
+    homogeneous = _is_homogeneous_pressure_bc(
+        solve.x0.boundary if isinstance(solve.x0, Field) else None)
     pressure = solve_linear(masked_laplace, div, solve, input_velocity.boundary, hard_bcs, active,
-                            wide_stencil=wide_stencil, order=order, assume_homogeneous=True)
+                            wide_stencil=wide_stencil, order=order, assume_homogeneous=homogeneous)
     # --- subtract pressure gradient ---
     grad_pressure = spatial_gradient(pressure, input_velocity.boundary, at=velocity.sampled_at, order=order)
     if hard_bcs is not None:
@@ -431,6 +481,8 @@ def _masked_chebyshev_preconditioner(x0: Field, v_boundary: Extrapolation,
     power iteration. Cost: 2 matvecs at (traced) build + degree−1 matvecs per
     application, each the fused Poisson stencil. M = p(B)D⁻¹ is symmetric in
     the D-inner product, preserving CG convergence theory."""
+    lin_bc = _linearize_pressure_bc(x0.boundary)
+    x0 = x0.with_boundary(lin_bc)  # probe/apply the LINEAR operator only
     diag = _masked_diagonal(x0, v_boundary, hard_bcs, active)
     if diag is None:
         return None
@@ -446,6 +498,7 @@ def _masked_chebyshev_preconditioner(x0: Field, v_boundary: Extrapolation,
         return Az.values * inv_diag
 
     def preconditioner(r: Field) -> Field:
+        r = r.with_boundary(lin_bc)  # solver rebuilds r with x0's (possibly affine) boundary
         rs = r.values * inv_diag
         z = rs / theta
         d = z
@@ -467,6 +520,7 @@ def _masked_vcycle_preconditioner(x0: Field, v_boundary: Extrapolation,
     the active-cell projection and V the unmasked Poisson V-cycle. Identity
     rows are exact; near the obstacle interface V only approximates, which
     degrades (not breaks) CG. Symmetric because V is and P is diagonal."""
+    x0 = x0.with_boundary(_linearize_pressure_bc(x0.boundary))  # linear part only
     M_inner = _grid_multigrid_preconditioner(x0, v_boundary)
     if M_inner is None or active is None:
         return M_inner

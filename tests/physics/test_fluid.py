@@ -116,3 +116,38 @@ def test_rotating_obstacle():
     assert vx < -1.0, vx
     vx_below = float(v2.vector['x'].values[{'x': 12, 'y': 9}])
     assert vx_below > 1.0, vx_below
+
+
+def test_embedded_pressure_boundary_solve():
+    """Nested-domain pressure solve (Multi_Grid_Fluid.ipynb recipe): x0 with a
+    FieldEmbedding boundary must converge. Regression for two r5 bugs: (a)
+    boundary pads of field VALUES lost grid context, silently degrading
+    FieldEmbedding to edge-replication (the operator became singular Neumann
+    while the RHS was incompatible — CG diverged to |p| ~ 3e7); (b) the masked
+    Chebyshev / MG preconditioners re-applied the embedding's affine offset on
+    every application instead of the linearized (ghost-0) boundary."""
+    import numpy as np
+    from phiflow_tpu.math import Solve, extrapolation
+    from phiflow_tpu.geom import Box, Sphere
+    from phiflow_tpu.field import StaggeredGrid, CenteredGrid, Noise, divergence, resample
+    from phiflow_tpu.physics import fluid
+    from phiflow_tpu.physics.fluid import _pressure_extrapolation
+
+    large = Box(x=100, y=100)
+    small = Box(x=(30, 70), y=(40, 80))
+    obstacle = Sphere(x=50, y=60, radius=5)
+    v_large = StaggeredGrid(Noise(vector='x,y'), 0, large, x=32, y=32) * 0.1
+    p_large = CenteredGrid(Noise(), _pressure_extrapolation(v_large.boundary),
+                           large, x=32, y=32) * 0.1
+    v = StaggeredGrid(Noise(vector='x,y'), extrapolation.ZERO_GRADIENT,
+                      bounds=small, x=48, y=48) * 0.1
+    x0 = CenteredGrid(0, p_large, bounds=small, resolution=v.resolution)
+    for obstacles in ([obstacle], []):
+        v2, p2 = fluid.make_incompressible(v, obstacles,
+                                           Solve('CG', 1e-5, 1e-5, x0=x0, max_iterations=4000))
+        div = divergence(v2)
+        dd = np.abs(np.asarray(div.values.native(('x', 'y'))))
+        if obstacles:
+            hard = resample(obstacles[0], div, soft=False)
+            dd = dd * (1 - np.asarray(hard.values.native(('x', 'y'))))
+        assert dd.max() < 1e-3, (len(obstacles), dd.max())
