@@ -139,7 +139,8 @@ class SmokePlume:
         dx = _np.asarray(velocity.dx.native(velocity.dx.shape.names)).reshape(-1)
         return bool(_np.allclose(dx, dx[0]))
 
-    def _fused_advect(self, velocity: Field, smoke: Field, interpret=False) -> Tuple[Field, Field]:
+    def _fused_advect(self, velocity: Field, smoke: Field, interpret=False,
+                      return_aligned: bool = False):
         """Both advection phases via ops.advect3d. Returns (velocity', smoke').
 
         BC-general (VERDICT r4 #3): uniform-constant or periodic velocity,
@@ -215,6 +216,13 @@ class SmokePlume:
         outs[2] = outs[2]._replace(add_blocked=(0, 1.0))
         adv = fused_advect_3d(vel_slabs, N, K, outs, scales,
                               blocked_extras=[lift], interpret=interpret)
+        if return_aligned:
+            # hand back the UNCROPPED (X, alignY, alignZ) kernel outputs —
+            # component d's row r is face r+1, rows >= N_d-1 are window garbage
+            # (the fused projection masks them; cropping here and re-padding
+            # there would cost two full relayout passes per component at 512^3,
+            # the z component's lane axis being the painful one)
+            return list(adv), smoke_new
         new_comps = []
         for d, dim in enumerate(names):
             shp = [N[0], N[1], N[2]]

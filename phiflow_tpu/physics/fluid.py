@@ -112,6 +112,33 @@ def _linearize_pressure_bc(ext):
     return extrapolation.ZERO  # FieldEmbedding / unknown value-type pads
 
 
+def solve_pressure_field(div: Field, v_boundary: Extrapolation, solve: Solve) -> Field:
+    """The UNMASKED pressure solve of make_incompressible, entered with a
+    ready divergence Field: closed-box balancing + rank deficiency, derived
+    x0, MG preconditioning, homogeneity-aware solve_linear. Used by fused
+    model paths that build the divergence with their own kernels (e.g.
+    SmokePlume._fused_project) — keep in sync with make_incompressible's
+    unmasked branch."""
+    if not v_boundary.is_flexible:
+        solve = solve.with_preprocessing(_balance_divergence, None)
+        if solve.rank_deficiency is None:
+            solve = copy_with(solve, rank_deficiency=1)
+    if solve.x0 is None:
+        solve = copy_with(solve, x0=Field(div.geometry, wrap(0.), _pressure_extrapolation(v_boundary)))
+    if solve.preconditioner in (None, 'auto', 'multigrid') \
+            and solve.method in ('auto', 'CG', 'CG-adaptive', 'CG-native'):
+        x0_lin = solve.x0.with_boundary(_linearize_pressure_bc(solve.x0.boundary))
+        M = _grid_multigrid_preconditioner(x0_lin, v_boundary)
+        if M is not None:
+            solve = copy_with(solve, preconditioner=M)
+    if not callable(solve.preconditioner):
+        solve = copy_with(solve, preconditioner=None)
+    homogeneous = _is_homogeneous_pressure_bc(
+        solve.x0.boundary if isinstance(solve.x0, Field) else None)
+    return solve_linear(masked_laplace, div, solve, v_boundary, None, None,
+                        wide_stencil=False, order=2, assume_homogeneous=homogeneous)
+
+
 def _is_homogeneous_pressure_bc(ext) -> bool:
     """True iff padding a ZERO field with `ext` yields zeros — the condition
     for masked_laplace(0) = 0 (enables assume_homogeneous / the fused-dot CG).
